@@ -1,0 +1,132 @@
+"""Multilayer (partitioned) structural entropy — reference op A5.
+
+Faithful DataFrame re-expression of
+/root/reference/internal/entropy/entropy.go:46-164:
+
+1. **Cross-category node copy** (entropy.go:46-65): a vertex with k>1
+   categories keeps its first category and spawns k-1 copies (fresh ids past
+   max(id)), each copy carrying ONE of the remaining categories and a full
+   copy of the out-list.
+2. **Shrink + in-degree build** (entropy.go:67-91): edges whose dst is not a
+   known vertex are dropped; every kept edge (u,v) is expanded over copies on
+   BOTH sides — copies of u emit the same out-edges (their out-list was
+   copied), and every edge pointing at v also points at each copy of v
+   (entropy.go:79-85).  Net effect: E' = {(s,t) : (u,v) in E, s in {u}+copies(u),
+   t in {v}+copies(v)}.
+3. **Per-module terms** (entropy.go:100-163): with m = |E'|,
+   vol_j = intra-module edge count, g_j = edges leaving module j, and
+   H_j = unnormalized in-degree structural entropy of module j's induced
+   subgraph:  little = sum_j [ H_j*vol_j/m - log2(vol_j/m)*g_j/m ]
+   (modules with vol_j = 0 are skipped, entropy.go:155-157);
+   big = whole-graph in-degree structural entropy.
+
+Golden parity: entropy_test.go:18 (1.504751568) and :30-31
+(1.612197223 / 2.636056086), both +-1e-9 — see tests/test_goldens_entropy.py.
+
+Scale notes: copies are produced with one narrow posexplode + a window rank
+over the (tiny) multi-category subset; edge expansion is two broadcast-able
+joins against the copy map (crossing vertices are rare in real taxonomies);
+the per-module entropies are ONE groupBy(cat, dst) + ONE groupBy(cat) — no
+per-module jobs, no driver loop over modules (the reference spawns a
+goroutine per module; Catalyst gets the same parallelism from the shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _expanded_graph(vertices: DataFrame, edges: DataFrame):
+    """Apply category-copy + shrink; return (nodes(id, cat), efull(src, dst))."""
+    max_id = vertices.agg(F.max("id")).collect()[0][0]  # one scalar, driver-safe
+
+    base = vertices.select("id", F.element_at("cats", 1).alias("cat"))
+    multi = vertices.filter(F.size("cats") > 1)
+    copies = (
+        multi.select("id", F.posexplode("cats").alias("pos", "cat"))
+        .filter(F.col("pos") >= 1)
+        .withColumn(
+            "copy_id",
+            F.lit(max_id)
+            + F.row_number().over(Window.orderBy("id", "pos")).cast("long"),
+        )
+    )
+    copy_map = copies.select(F.col("id").alias("orig"), "copy_id")
+    nodes = base.unionByName(
+        copies.select(F.col("copy_id").alias("id"), "cat")
+    )
+
+    # shrink: drop edges to unknown vertices (copies are never referenced by
+    # raw out-lists, so membership against the ORIGINAL vertex set suffices)
+    e0 = edges.join(
+        vertices.select(F.col("id").alias("dst")), "dst", "left_semi"
+    ).join(vertices.select(F.col("id").alias("src")), "src", "left_semi")
+
+    cm = F.broadcast(copy_map)
+    e_src = e0.unionByName(
+        e0.join(cm, e0.src == cm.orig).select(F.col("copy_id").alias("src"), "dst")
+    )
+    e_full = e_src.unionByName(
+        e_src.join(cm, e_src.dst == cm.orig).select("src", F.col("copy_id").alias("dst"))
+    )
+    return nodes, e_full
+
+
+def _in_entropy(edges: DataFrame, group: list[str]) -> DataFrame:
+    """Unnormalized in-degree structural entropy per group (or global)."""
+    indeg = edges.groupBy(*group, "dst").agg(F.count("*").cast("double").alias("d"))
+    agg = indeg.groupBy(*group).agg(
+        F.sum("d").alias("S"), F.sum(F.col("d") * F.log2("d")).alias("dlogd")
+    )
+    return agg.select(
+        *group, (F.log2("S") - F.col("dlogd") / F.col("S")).alias("h")
+    )
+
+
+def multilayer_structural_entropy(
+    vertices: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """One row (big, little).
+
+    ``vertices``: (id: long, cats: array<string>, non-empty);
+    ``edges``: (src, dst) — out-lists already normalized to one row per edge.
+    """
+    nodes, e_full = _expanded_graph(vertices, edges)
+    e_full = e_full.cache()
+
+    big = _in_entropy(e_full, []).select(F.col("h").alias("big"))
+
+    n = F.broadcast(nodes)
+    tagged = (
+        e_full.join(n.select(F.col("id").alias("src"), F.col("cat").alias("cat_src")), "src")
+        .join(n.select(F.col("id").alias("dst"), F.col("cat").alias("cat_dst")), "dst")
+    )
+    # m = |E'| ; computed as a column so the whole result stays one Spark job
+    totals = tagged.agg(F.count("*").cast("double").alias("m"))
+
+    intra = tagged.filter(F.col("cat_src") == F.col("cat_dst"))
+    mod_h = _in_entropy(intra.withColumnRenamed("cat_src", "cat"), ["cat"])
+    mod_vol = intra.groupBy(F.col("cat_src").alias("cat")).agg(
+        F.count("*").cast("double").alias("vol")
+    )
+    mod_g = (
+        tagged.filter(F.col("cat_src") != F.col("cat_dst"))
+        .groupBy(F.col("cat_src").alias("cat"))
+        .agg(F.count("*").cast("double").alias("g"))
+    )
+    per_mod = (
+        mod_vol.join(mod_h, "cat", "left")
+        .join(mod_g, "cat", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (
+                F.col("h") * F.col("vol") / F.col("m")
+                - F.log2(F.col("vol") / F.col("m"))
+                * F.coalesce("g", F.lit(0.0))
+                / F.col("m")
+            ).alias("term")
+        )
+    )
+    little = per_mod.agg(F.sum("term").alias("little"))
+    return big.crossJoin(little)
