@@ -1,0 +1,542 @@
+"""Driver-facing query registry: (spark, sf_dir) -> DataFrame + DuckDB oracles.
+
+Every operator from SURVEY.md §2 that is SQL-expressible gets BOTH a Spark
+query and an equivalent ANSI-SQL oracle over the same parquet tables.  Float
+outputs are rounded to 6 decimals on BOTH sides so the driver's
+order-insensitive value hash is stable across engines (float association
+differences are ~1e-12 at these scales).
+
+The shared derived link graph (see operators/graph.py) is defined by the SQL
+CTE prefix ``GRAPH_CTES`` — the DuckDB text is the single source of truth for
+the oracle side; the Spark side mirrors it in ``derive_*``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.functions.distance_complexity import distance_complexity
+from graph_computing_go_spark.functions.entropy import (
+    degree_distribution_entropy,
+    degree_histogram,
+    structural_entropy,
+)
+from graph_computing_go_spark.functions.multilayer import multilayer_structural_entropy
+from graph_computing_go_spark.functions.ngd import google_distance
+from graph_computing_go_spark.operators.graph import (
+    GRAPH_MOD,
+    current_in_degree,
+    derive_edges,
+    derive_wedges,
+    induce_subgraph,
+    load_table,
+    min_in_degree_filter,
+    percent_ladder_stats,
+    rank_by_in_degree,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Shared derived-graph SQL (mirrors operators/graph.py derive_*)
+# --------------------------------------------------------------------------
+
+GRAPH_CTES = f"""
+raw_edges AS (
+    SELECT CAST(l_orderkey % {GRAPH_MOD} AS BIGINT) AS src,
+           CAST(l_partkey  % {GRAPH_MOD} AS BIGINT) AS dst
+    FROM lineitem
+    WHERE (l_orderkey % {GRAPH_MOD}) != (l_partkey % {GRAPH_MOD})
+),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges),
+deg AS (
+    SELECT COALESCE(i.id, o.id) AS id,
+           COALESCE(i.c, 0) AS in_deg,
+           COALESCE(o.c, 0) AS out_deg,
+           COALESCE(i.c, 0) + COALESCE(o.c, 0) AS all_deg
+    FROM (SELECT dst AS id, COUNT(*) AS c FROM edges GROUP BY dst) i
+    FULL OUTER JOIN (SELECT src AS id, COUNT(*) AS c FROM edges GROUP BY src) o
+      ON i.id = o.id
+)
+"""
+
+# --------------------------------------------------------------------------
+# A1 — in-degree count
+# --------------------------------------------------------------------------
+
+
+@register(
+    "in_degree_count",
+    f"""WITH {GRAPH_CTES}
+    SELECT dst AS id, COUNT(*) AS cnt FROM edges GROUP BY dst""",
+)
+def q_in_degree_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (wikiEntropy.go:75-83): count per dst over the resolved edge table."""
+    return current_in_degree(derive_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# A2 — degree histograms (in / out / all)
+# --------------------------------------------------------------------------
+
+_HIST_SQL = """WITH {ctes}
+SELECT {col} AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY {col}"""
+
+for _kind, _col in (("in", "in_deg"), ("out", "out_deg"), ("all", "all_deg")):
+
+    def _mk(kind: str) -> QueryFn:
+        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return degree_histogram(derive_edges(spark, sf_dir), kind)
+
+        q.__doc__ = (
+            f"A2 ({kind}-degree histogram; degreeStats.go map[int]int counters)."
+        )
+        return q
+
+    register(
+        f"degree_histogram_{_kind}",
+        _HIST_SQL.format(ctes=GRAPH_CTES, col=_col),
+    )(_mk(_kind))
+
+
+# --------------------------------------------------------------------------
+# A3 — degree-distribution entropy
+# --------------------------------------------------------------------------
+
+
+@register(
+    "degree_distribution_entropy",
+    f"""WITH {GRAPH_CTES},
+    hi AS (SELECT in_deg AS d, COUNT(*) AS c FROM deg GROUP BY in_deg),
+    ho AS (SELECT out_deg AS d, COUNT(*) AS c FROM deg GROUP BY out_deg),
+    ha AS (SELECT all_deg AS d, COUNT(*) AS c FROM deg WHERE all_deg > 0 GROUP BY all_deg)
+    SELECT
+      ROUND(LOG2(CAST((SELECT SUM(c) FROM hi) AS DOUBLE))
+            - (SELECT SUM(c*LOG2(CAST(c AS DOUBLE))) FROM hi)
+              / CAST((SELECT SUM(c) FROM hi) AS DOUBLE), 6) AS h_in,
+      ROUND(LOG2(CAST((SELECT SUM(c) FROM ho) AS DOUBLE))
+            - (SELECT SUM(c*LOG2(CAST(c AS DOUBLE))) FROM ho)
+              / CAST((SELECT SUM(c) FROM ho) AS DOUBLE), 6) AS h_out,
+      ROUND(LOG2(CAST((SELECT SUM(c) FROM ha) AS DOUBLE))
+            - (SELECT SUM(c*LOG2(CAST(c AS DOUBLE))) FROM ha)
+              / CAST((SELECT SUM(c) FROM ha) AS DOUBLE), 6) AS h_all,
+      CAST((SELECT SUM(c) FROM ha) AS BIGINT) AS n_nodes""",
+)
+def q_degree_distribution_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (DegreeEntropy(), spec lab/test.ipynb cell 1)."""
+    df = degree_distribution_entropy(derive_edges(spark, sf_dir))
+    return df.select(
+        F.round("h_in", 6).alias("h_in"),
+        F.round("h_out", 6).alias("h_out"),
+        F.round("h_all", 6).alias("h_all"),
+        "n_nodes",
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — structural entropy (+ normalized)
+# --------------------------------------------------------------------------
+
+_SE_ONE = """
+    SELECT SUM(d) AS s, SUM(d*LOG2(d)) AS dlogd, COUNT(*) AS n
+    FROM (SELECT CAST({col} AS DOUBLE) AS d FROM deg WHERE {col} > 0)
+"""
+
+
+@register(
+    "structural_entropy",
+    f"""WITH {GRAPH_CTES},
+    a_in  AS ({_SE_ONE.format(col='in_deg')}),
+    a_out AS ({_SE_ONE.format(col='out_deg')}),
+    a_all AS ({_SE_ONE.format(col='all_deg')})
+    SELECT
+      ROUND(LOG2(a_in.s) - a_in.dlogd/a_in.s, 6) AS h_in,
+      ROUND(((LOG2(a_in.s) - a_in.dlogd/a_in.s) - LOG2(4.0*(a_in.n-1))/2)
+            / (LOG2(CAST(a_in.n AS DOUBLE)) - LOG2(4.0*(a_in.n-1))/2), 6) AS norm_in,
+      CAST(a_in.n AS BIGINT) AS n_in,
+      ROUND(LOG2(a_out.s) - a_out.dlogd/a_out.s, 6) AS h_out,
+      ROUND(((LOG2(a_out.s) - a_out.dlogd/a_out.s) - LOG2(4.0*(a_out.n-1))/2)
+            / (LOG2(CAST(a_out.n AS DOUBLE)) - LOG2(4.0*(a_out.n-1))/2), 6) AS norm_out,
+      CAST(a_out.n AS BIGINT) AS n_out,
+      ROUND(LOG2(a_all.s) - a_all.dlogd/a_all.s, 6) AS h_all,
+      ROUND(((LOG2(a_all.s) - a_all.dlogd/a_all.s) - LOG2(4.0*(a_all.n-1))/2)
+            / (LOG2(CAST(a_all.n AS DOUBLE)) - LOG2(4.0*(a_all.n-1))/2), 6) AS norm_all,
+      CAST(a_all.n AS BIGINT) AS n_all
+    FROM a_in, a_out, a_all""",
+)
+def q_structural_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (StructEntropy(); goldens entropy_test.go:18,30-31)."""
+    df = structural_entropy(derive_edges(spark, sf_dir))
+    cols = []
+    for sfx in ("in", "out", "all"):
+        cols += [
+            F.round(f"h_{sfx}", 6).alias(f"h_{sfx}"),
+            F.round(f"norm_{sfx}", 6).alias(f"norm_{sfx}"),
+            F.col(f"n_{sfx}"),
+        ]
+    return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# A5 — multilayer structural entropy (single-category vertices; the
+# cross-category copy path is covered by the golden unit tests)
+# --------------------------------------------------------------------------
+
+
+def _vertices_with_cats(edges: DataFrame) -> DataFrame:
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return ids.select(
+        "id", F.array(F.chr(F.lit(97) + (F.col("id") % 3))).alias("cats")
+    )
+
+
+@register(
+    "multilayer_entropy",
+    f"""WITH {GRAPH_CTES},
+    vc AS (SELECT id, CHR(97 + CAST(id % 3 AS INT)) AS cat
+           FROM (SELECT DISTINCT src AS id FROM edges
+                 UNION SELECT DISTINCT dst FROM edges)),
+    tagged AS (
+      SELECT e.src, e.dst, vs.cat AS cat_src, vd.cat AS cat_dst
+      FROM edges e JOIN vc vs ON e.src = vs.id JOIN vc vd ON e.dst = vd.id
+    ),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM tagged),
+    gin AS (SELECT dst, CAST(COUNT(*) AS DOUBLE) AS d FROM tagged GROUP BY dst),
+    big AS (SELECT LOG2(SUM(d)) - SUM(d*LOG2(d))/SUM(d) AS h FROM gin),
+    intra AS (SELECT * FROM tagged WHERE cat_src = cat_dst),
+    mod_in AS (SELECT cat_src AS cat, dst, CAST(COUNT(*) AS DOUBLE) AS d
+               FROM intra GROUP BY cat_src, dst),
+    mod_h AS (SELECT cat, LOG2(SUM(d)) - SUM(d*LOG2(d))/SUM(d) AS h,
+                     SUM(d) AS vol
+              FROM mod_in GROUP BY cat),
+    mod_g AS (SELECT cat_src AS cat, CAST(COUNT(*) AS DOUBLE) AS g
+              FROM tagged WHERE cat_src != cat_dst GROUP BY cat_src)
+    SELECT ROUND((SELECT h FROM big), 6) AS big,
+           ROUND((SELECT SUM(mh.h * mh.vol / m.m
+                          - LOG2(mh.vol / m.m) * COALESCE(mg.g, 0) / m.m)
+                  FROM mod_h mh LEFT JOIN mod_g mg ON mh.cat = mg.cat, m), 6)
+             AS little""",
+)
+def q_multilayer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (entropy.go:100-164) on the derived graph with cat = chr(97+id%3)."""
+    edges = derive_edges(spark, sf_dir)
+    df = multilayer_structural_entropy(_vertices_with_cats(edges), edges)
+    return df.select(F.round("big", 6).alias("big"), F.round("little", 6).alias("little"))
+
+
+# --------------------------------------------------------------------------
+# A6/A7 — distance complexity over the weighted derived graph
+# --------------------------------------------------------------------------
+
+
+@register(
+    "distance_complexity",
+    f"""WITH {GRAPH_CTES},
+    wedges AS (
+      SELECT GREATEST(src, dst) AS a, LEAST(src, dst) AS b,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM raw_edges GROUP BY 1, 2
+    ),
+    vc AS (SELECT id, CHR(97 + CAST(id % 3 AS INT)) AS cat
+           FROM (SELECT DISTINCT a AS id FROM wedges
+                 UNION SELECT DISTINCT b FROM wedges)),
+    incident AS (SELECT a AS id, w FROM wedges UNION ALL SELECT b, w FROM wedges),
+    pn AS (SELECT id, SUM(w) AS s, LOG2(SUM(w)) - SUM(w*LOG2(w))/SUM(w) AS h
+           FROM incident GROUP BY id),
+    big AS (SELECT SUM(h*s)/SUM(s) AS v FROM pn),
+    tagged AS (SELECT e.a, e.b, e.w, ca.cat AS cat_a, cb.cat AS cat_b
+               FROM wedges e JOIN vc ca ON e.a = ca.id JOIN vc cb ON e.b = cb.id),
+    vall AS (SELECT SUM(w)*2 AS v FROM tagged),
+    intra AS (SELECT * FROM tagged WHERE cat_a = cat_b),
+    ii AS (SELECT cat_a AS cat, a AS id, w FROM intra
+           UNION ALL SELECT cat_a, b, w FROM intra),
+    nh AS (SELECT cat, id, SUM(w) AS s,
+                  LOG2(SUM(w)) - SUM(w*LOG2(w))/SUM(w) AS h
+           FROM ii GROUP BY cat, id),
+    mi AS (SELECT cat_a AS cat, SUM(w)*2 AS inner FROM intra GROUP BY cat_a),
+    hm AS (SELECT nh.cat, SUM(nh.s*nh.h)/MAX(mi.inner) AS h_module,
+                  MAX(mi.inner) AS inner
+           FROM nh JOIN mi ON nh.cat = mi.cat GROUP BY nh.cat),
+    cr AS (SELECT cat_a AS cat, w FROM tagged WHERE cat_a != cat_b
+           UNION ALL SELECT cat_b, w FROM tagged WHERE cat_a != cat_b),
+    oo AS (SELECT cat, SUM(w) AS outer FROM cr GROUP BY cat)
+    SELECT ROUND((SELECT v FROM big), 6) AS big,
+           ROUND((SELECT SUM(hm.h_module * hm.inner / vall.v
+                          - LOG2(hm.inner / vall.v) * COALESCE(oo.outer, 0) / vall.v)
+                  FROM hm LEFT JOIN oo ON hm.cat = oo.cat, vall), 6) AS little""",
+)
+def q_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7 (distanceComplexity.go:151-287) on weighted derived edges."""
+    wedges = derive_wedges(spark, sf_dir)
+    ids = (
+        wedges.select(F.col("a").alias("id"))
+        .unionByName(wedges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cats = ids.select(
+        "id", F.array(F.chr(F.lit(97) + (F.col("id") % 3))).alias("cats")
+    )
+    df = distance_complexity(wedges, cats)
+    return df.select(F.round("big", 6).alias("big"), F.round("little", 6).alias("little"))
+
+
+# --------------------------------------------------------------------------
+# A9/J6 — normalized Google distance over the top-50 in-degree core
+# --------------------------------------------------------------------------
+
+
+@register(
+    "google_distance",
+    f"""WITH {GRAPH_CTES},
+    ranked AS (SELECT dst AS id, COUNT(*) AS cnt,
+                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dst ASC) AS rn
+               FROM edges GROUP BY dst),
+    core AS (SELECT id FROM ranked WHERE rn <= 50),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM
+          (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges)),
+    ie AS (SELECT DISTINCT e.src, e.dst FROM edges e JOIN core c ON e.dst = c.id),
+    indeg AS (SELECT dst, COUNT(*) AS deg FROM ie GROUP BY dst),
+    pairs AS (SELECT l.dst AS a, r.dst AS b, COUNT(*) AS inter
+              FROM ie l JOIN ie r ON l.src = r.src AND l.dst < r.dst
+              GROUP BY l.dst, r.dst)
+    SELECT p.a, p.b, p.inter, da.deg AS deg_a, db.deg AS deg_b,
+           ROUND((LOG2(CAST(GREATEST(da.deg, db.deg) AS DOUBLE))
+                  - LOG2(CAST(p.inter AS DOUBLE)))
+                 / ((SELECT LOG2(n) FROM n)
+                    - LOG2(CAST(LEAST(da.deg, db.deg) AS DOUBLE))), 6) AS distance
+    FROM pairs p JOIN indeg da ON p.a = da.dst JOIN indeg db ON p.b = db.dst""",
+)
+def q_google_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (wikipediaGoogleDistance.go:91-136), core = top-50 by in-degree."""
+    edges = derive_edges(spark, sf_dir).cache()
+    ranked = rank_by_in_degree(edges)
+    core = ranked.filter(F.col("rank") <= 50).select("id")
+    n = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    df = google_distance(edges, core, n)
+    return df.select(
+        "a", "b", "inter", F.col("deg_a").cast("long").alias("deg_a"),
+        F.col("deg_b").cast("long").alias("deg_b"),
+        F.round("distance", 6).alias("distance"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A10 — top-percent ladder slices
+# --------------------------------------------------------------------------
+
+
+@register(
+    "top_percent_slice",
+    f"""WITH {GRAPH_CTES},
+    ranked AS (SELECT dst AS id, COUNT(*) AS cnt,
+                      ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, dst ASC) AS rn,
+                      COUNT(*) OVER () AS n_total
+               FROM edges GROUP BY dst),
+    percents(percent) AS (VALUES (10), (20), (40), (60), (80), (100)),
+    sel AS (SELECT p.percent, r.id FROM percents p, ranked r
+            WHERE r.rn <= CEIL(r.n_total * p.percent / 100)),
+    nv AS (SELECT percent, COUNT(*) AS n_vertices FROM sel GROUP BY percent),
+    ne AS (SELECT s1.percent, COUNT(*) AS n_edges
+           FROM edges e
+           JOIN sel s1 ON e.src = s1.id
+           JOIN sel s2 ON e.dst = s2.id AND s1.percent = s2.percent
+           GROUP BY s1.percent)
+    SELECT nv.percent, nv.n_vertices, COALESCE(ne.n_edges, 0) AS n_edges
+    FROM nv LEFT JOIN ne ON nv.percent = ne.percent""",
+)
+def q_top_percent_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (wikiEntropy.go:281-310): one ranking, six ladder filters."""
+    return percent_ladder_stats(derive_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# P6/J4 — min-in-degree filter + subgraph induction
+# --------------------------------------------------------------------------
+
+
+@register(
+    "subgraph_induction",
+    f"""WITH {GRAPH_CTES},
+    keep AS (SELECT dst AS id FROM edges GROUP BY dst HAVING COUNT(*) >= 100)
+    SELECT e.src, e.dst FROM edges e
+    WHERE e.src IN (SELECT id FROM keep) AND e.dst IN (SELECT id FROM keep)""",
+)
+def q_subgraph_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+P6: induce on the min-in-degree>=100 vertex set
+    (openAlexEntropy.go:314-339,365-374)."""
+    edges = derive_edges(spark, sf_dir)
+    keep = min_in_degree_filter(edges, 100)
+    return induce_subgraph(edges, keep)
+
+
+# --------------------------------------------------------------------------
+# J2 — dedup with preference (best customer per nation)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_preference",
+    """SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 6) AS c_acctbal
+    FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+          FROM customer) WHERE rn = 1""",
+)
+def q_dedup_preference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 (wikiEntropy.go:163-184): keep-best-per-key window dedup."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J3 — bounded redirect-chain resolution (3 hops)
+# --------------------------------------------------------------------------
+
+_REDIR_PAGES = """
+    pages AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+                     CASE WHEN p_partkey % 8 = 0 THEN NULL
+                          ELSE CAST(p_partkey - 1 AS BIGINT) END AS redirect
+              FROM part)
+"""
+
+
+@register(
+    "redirect_resolution",
+    f"""WITH {_REDIR_PAGES}
+    SELECT p0.id,
+      CASE
+        WHEN p0.redirect IS NULL THEN p0.id
+        WHEN p1.id IS NULL THEN NULL
+        WHEN p1.redirect IS NULL THEN p1.id
+        WHEN p2.id IS NULL THEN NULL
+        WHEN p2.redirect IS NULL THEN p2.id
+        WHEN p3.id IS NULL THEN NULL
+        WHEN p3.redirect IS NULL THEN p3.id
+        ELSE NULL
+      END AS resolved_id
+    FROM pages p0
+    LEFT JOIN pages p1 ON p0.redirect = p1.id
+    LEFT JOIN pages p2 ON p1.redirect = p2.id
+    LEFT JOIN pages p3 ON p2.redirect = p3.id""",
+)
+def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 (wikiEntropy.go:188-230): <=3-hop pointer chase, unresolved -> NULL.
+
+    Synthetic redirect table over part: id%8==0 pages are canonical, others
+    redirect to id-1 (chain length id%8; >3 stays unresolved, matching the
+    reference's bounded ``for i < 3`` loop)."""
+    part = load_table(spark, sf_dir, "part")
+    pages = part.select(
+        F.col("p_partkey").cast("long").alias("id"),
+        F.when(F.col("p_partkey") % 8 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("p_partkey") - 1).cast("long"))
+        .alias("redirect"),
+    )
+    p0, p1, p2, p3 = [
+        pages.select(
+            F.col("id").alias(f"id{i}"), F.col("redirect").alias(f"r{i}")
+        )
+        for i in range(4)
+    ]
+    j = (
+        p0.join(p1, p0["r0"] == p1["id1"], "left")
+        .join(p2, p1["r1"] == p2["id2"], "left")
+        .join(p3, p2["r2"] == p3["id3"], "left")
+    )
+    resolved = (
+        F.when(F.col("r0").isNull(), F.col("id0"))
+        .when(F.col("id1").isNull(), F.lit(None))
+        .when(F.col("r1").isNull(), F.col("id1"))
+        .when(F.col("id2").isNull(), F.lit(None))
+        .when(F.col("r2").isNull(), F.col("id2"))
+        .when(F.col("id3").isNull(), F.lit(None))
+        .when(F.col("r3").isNull(), F.col("id3"))
+        .otherwise(F.lit(None))
+    )
+    return j.select(F.col("id0").alias("id"), resolved.cast("long").alias("resolved_id"))
+
+
+# --------------------------------------------------------------------------
+# Classic scan→filter→agg anchor (TPC-H Q1 shape) + time-window agg
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan→filter→hash-agg anchor (S3+P4+A-family shape, TPC-H Q1 style)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    """SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2""",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (batch twin of the
+    streaming path in streaming/events.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
