@@ -1,0 +1,80 @@
+"""Synchronous label propagation for community detection (north rule).
+
+Public spec: Raghavan et al. 2007, made deterministic for golden parity
+(BASELINE.json:14 — "label assignments exact"):
+
+- labels start as vertex ids;
+- each superstep every vertex adopts the most frequent label among its
+  undirected neighbors (synchronous update), breaking frequency ties by the
+  SMALLEST label; isolated vertices keep their label;
+- stop when no label changes or after ``max_iter`` (synchronous LPA can
+  oscillate on bipartite-ish structures, so a finite cap is part of the
+  spec; callers that need a fixed snapshot pass ``exact_iters``).
+
+Shape per superstep: edges ⋈ labels → groupBy(id, label).count() →
+window row_number (count DESC, label ASC) = 1.  The count aggregation is
+map-side combined; the window partitions by vertex so it shuffles on the
+same key as the groupBy — Catalyst collapses them into one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.plans.components import symmetrize
+from graph_computing_go_spark.plans.pagerank import vertices_of
+from graph_computing_go_spark.plans.superstep import SuperstepRunner
+
+
+def label_propagation(
+    edges: DataFrame,
+    max_iter: int = 20,
+    exact_iters: int | None = None,
+    runner: SuperstepRunner | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, int]:
+    """Returns ((id, label) DataFrame, iterations_run)."""
+    spark = edges.sparkSession
+    ud = symmetrize(edges).cache()
+    ud.count()
+    verts = vertices_of(edges).cache()
+    state0 = verts.select("id", F.col("id").alias("label"))
+
+    def step(labels: DataFrame, _i: int) -> DataFrame:
+        freq = (
+            ud.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+        best = (
+            freq.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        return labels.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", F.col("label")).alias("label")
+        )
+
+    if exact_iters is not None:
+        def converged(old: DataFrame, new: DataFrame, i: int) -> bool:
+            new.count()  # materialize the cached state
+            return i >= exact_iters
+        max_iter = exact_iters
+    else:
+        def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
+            changed = (
+                new.withColumnRenamed("label", "new_l")
+                .join(old, "id")
+                .filter(F.col("new_l") != F.col("label"))
+                .count()
+            )
+            return changed == 0
+
+    runner = runner or SuperstepRunner(spark)
+    state, iters = runner.run(
+        "label_propagation", state0, step, converged, max_iter=max_iter,
+        resume=resume,
+    )
+    return state, iters

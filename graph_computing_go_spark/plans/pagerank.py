@@ -1,0 +1,125 @@
+"""PageRank by power iteration — north-rule algorithm (no reference
+counterpart; public spec: Page et al. 1999, the standard damped formulation).
+
+DataFrame formulation per superstep (SURVEY.md §2.10):
+
+    contribs = links(src, dst, out_deg) ⋈ ranks(src)  →  Σ_dst rank/out_deg
+    rank'    = (1-α)/N + α·(contribs + dangling_mass/N)
+
+- ``dangling`` policy: "redistribute" (default — the mass of out-degree-0
+  vertices is spread uniformly, ranks stay a probability distribution) or
+  "drop" (mass evaporates; this variant is what the SQL oracle reproduces,
+  and the two coincide on graphs with no dangling vertices).
+- Convergence: L1 delta < tol, evaluated in the same action that caches the
+  new state — exactly one job per superstep.
+- Skew: the gather is ``groupBy(dst)`` — Spark's hash aggregate already does
+  map-side partial aggregation (the mandated two-stage aggregation), and an
+  explicit ``salt_buckets > 0`` adds a keyed pre-shuffle stage for the case
+  where one dst dominates a whole executor's input (hub repos).  The
+  ranks⋈links join is on src, where ranks are unique — AQE skew-join
+  handles hot src fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.plans.superstep import SuperstepRunner
+
+
+def _salted_sum(df: DataFrame, key: str, value: str, buckets: int) -> DataFrame:
+    """Two-stage aggregation: groupBy(key, salt) partial sums, then
+    groupBy(key) final — bounds any single reducer's input to ~1/buckets of
+    a heavy hitter (BASELINE.json:6)."""
+    if buckets <= 1:
+        return df.groupBy(key).agg(F.sum(value).alias(value))
+    # Salt must be deterministic under task retries — derive it from the src
+    # column the pre-joined rows carry, never from partition id or rand().
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64("src"), F.lit(buckets)))
+    partial = salted.groupBy(key, "__salt").agg(F.sum(value).alias(value))
+    return partial.groupBy(key).agg(F.sum(value).alias(value))
+
+
+def vertices_of(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    dangling: str = "redistribute",
+    salt_buckets: int = 0,
+    runner: SuperstepRunner | None = None,
+    resume: bool = False,
+) -> tuple[DataFrame, int]:
+    """Returns ((id, rank) DataFrame, iterations_run).
+
+    ``edges``: directed (src, dst); multi-edges are honored as multi-links
+    (pass ``edges.distinct()`` for simple-graph semantics).
+    """
+    spark = edges.sparkSession
+    verts = vertices_of(edges).cache()
+    n = verts.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    links = edges.join(out_deg, "src").cache()
+    links.count()  # materialize once; reused every superstep
+
+    dangling_ids = None
+    if dangling == "redistribute":
+        dangling_ids = verts.join(
+            out_deg.select(F.col("src").alias("id")), "id", "left_anti"
+        ).cache()
+        if dangling_ids.count() == 0:
+            dangling_ids = None  # no dangling mass — skip the per-superstep agg
+
+    state0 = verts.select("id", F.lit(1.0 / n).alias("rank"))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        joined = links.join(ranks.withColumnRenamed("id", "src"), "src").select(
+            "dst", (F.col("rank") / F.col("out_deg")).alias("contrib"), "src"
+        )
+        contribs = _salted_sum(joined, "dst", "contrib", salt_buckets).select(
+            F.col("dst").alias("id"), F.col("contrib")
+        )
+        base = F.lit((1.0 - alpha) / n)
+        if dangling_ids is not None:
+            dm = ranks.join(dangling_ids, "id", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+            )
+            return (
+                verts.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "id",
+                    (
+                        base
+                        + alpha
+                        * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / n)
+                    ).alias("rank"),
+                )
+            )
+        return verts.join(contribs, "id", "left").select(
+            "id", (base + alpha * F.coalesce("contrib", F.lit(0.0))).alias("rank")
+        )
+
+    def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
+        delta = (
+            new.withColumnRenamed("rank", "new_rank")
+            .join(old, "id")
+            .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        return delta is not None and delta < tol
+
+    runner = runner or SuperstepRunner(spark)
+    state, iters = runner.run(
+        "pagerank", state0, step, converged, max_iter=max_iter, resume=resume
+    )
+    return state, iters
