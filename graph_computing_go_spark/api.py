@@ -540,3 +540,142 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# North-rule iterative algorithms (SURVEY.md §2.10).  Fixed-iteration
+# variants get UNROLLED SQL oracles (DuckDB's recursive CTEs mis-evaluate
+# aggregates inside the recursive term — verified: a 1-step recursive
+# PageRank inflates total mass to 1.34 while the identical direct query
+# matches Spark to 1e-15); convergence-based variants are golden-tested
+# against pure-Python oracles in tests/test_plans.py.  Only the transitive
+# closure for connected components uses recursion (no aggregate inside).
+# --------------------------------------------------------------------------
+
+_PR_ITERS = 10
+_LP_ITERS = 4
+
+
+def _pagerank_oracle(iters: int) -> str:
+    steps = ["r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)"]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""g{k} AS (SELECT l.dst AS id, SUM(r{k-1}.rank / l.od) AS contrib
+        FROM r{k-1} JOIN links_aug l ON r{k-1}.id = l.src GROUP BY l.dst),
+    r{k} AS (SELECT id, 0.15/(SELECT n FROM nn) + 0.85*COALESCE(contrib, 0) AS rank
+        FROM g{k})"""
+        )
+    body = ",\n    ".join(steps)
+    return f"""WITH {GRAPH_CTES},
+    v AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    links AS (SELECT src, dst,
+                     CAST(COUNT(*) OVER (PARTITION BY src) AS DOUBLE) AS od
+              FROM edges),
+    links_aug AS (SELECT src, dst, od FROM links
+                  UNION ALL SELECT id, id, NULL FROM v),
+    {body}
+    SELECT id, ROUND(rank, 6) AS rank FROM r{iters}"""
+
+
+@register("pagerank_fixed", _pagerank_oracle(_PR_ITERS))
+def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {_PR_ITERS} power iterations, dangling mass dropped (the
+    derived graph has no dangling vertices at sf>=0.001 so drop==redistribute
+    there; the redistribute path is golden-tested in tests/test_plans.py)."""
+    from graph_computing_go_spark.plans import pagerank
+
+    ranks, _ = pagerank(
+        derive_edges(spark, sf_dir), tol=0.0, max_iter=_PR_ITERS, dangling="drop"
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "connected_components",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+    ud AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    v AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM v
+      UNION
+      SELECT reach.id, e.dst AS r FROM reach JOIN ud e ON reach.r = e.src
+    )
+    SELECT id, MIN(r) AS component FROM reach GROUP BY id""",
+)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (min-label propagation); oracle computes the same
+    fixpoint via transitive closure."""
+    from graph_computing_go_spark.plans import connected_components
+
+    comps, _ = connected_components(derive_edges(spark, sf_dir))
+    return comps
+
+
+def _lp_oracle(iters: int) -> str:
+    steps = ["l0 AS (SELECT id, id AS label FROM v)"]
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""f{k} AS (SELECT e.dst AS id, l{k-1}.label AS label, COUNT(*) AS c
+        FROM l{k-1} JOIN ud e ON l{k-1}.id = e.src GROUP BY e.dst, l{k-1}.label),
+    b{k} AS (SELECT id, label FROM f{k}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                   ORDER BY c DESC, label ASC) = 1),
+    l{k} AS (SELECT l{k-1}.id, COALESCE(b{k}.label, l{k-1}.label) AS label
+        FROM l{k-1} LEFT JOIN b{k} ON l{k-1}.id = b{k}.id)"""
+        )
+    body = ",\n    ".join(steps)
+    return f"""WITH {GRAPH_CTES},
+    ud AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    v AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+    {body}
+    SELECT id, label FROM l{iters}"""
+
+
+@register("label_propagation_fixed", _lp_oracle(_LP_ITERS))
+def q_label_propagation_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation, {_LP_ITERS} supersteps, ties -> min."""
+    from graph_computing_go_spark.plans import label_propagation
+
+    labels, _ = label_propagation(
+        derive_edges(spark, sf_dir), exact_iters=_LP_ITERS
+    )
+    return labels
+
+
+@register(
+    "triangle_count",
+    f"""WITH {GRAPH_CTES},
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+            WHERE EXISTS (SELECT 1 FROM canon e3
+                          WHERE e3.a = e1.a AND e3.b = e2.b))
+    SELECT COUNT(*) AS n_triangles FROM tri""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (canonical-orientation wedge join)."""
+    from graph_computing_go_spark.plans import triangle_count
+
+    return triangle_count(derive_edges(spark, sf_dir))
+
+
+@register(
+    "triangles_per_vertex",
+    f"""WITH {GRAPH_CTES},
+    canon AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+            WHERE EXISTS (SELECT 1 FROM canon e3
+                          WHERE e3.a = e1.a AND e3.b = e2.b)),
+    corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+    SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id""",
+)
+def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation counts."""
+    from graph_computing_go_spark.plans import triangles_per_vertex
+
+    return triangles_per_vertex(derive_edges(spark, sf_dir))
