@@ -679,3 +679,303 @@ def q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graph_computing_go_spark.plans import triangles_per_vertex
 
     return triangles_per_vertex(derive_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Training-data toolkit: text analysis (operators/text.py)
+# --------------------------------------------------------------------------
+
+_DOC_WORDS_SQL = """
+    words0 AS (SELECT doc_id AS id,
+                      unnest(range(1, len(arr) + 1)) AS pos,
+                      unnest(arr) AS w0
+               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS arr
+                     FROM documents) t),
+    words AS (SELECT id, pos, LOWER(w0) AS word FROM words0)
+"""
+
+
+@register(
+    "token_count",
+    """SELECT doc_id, CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS INT)
+              AS n_tokens
+    FROM documents""",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting over documents."""
+    from graph_computing_go_spark.operators.text import token_count
+
+    return token_count(load_table(spark, sf_dir, "documents"))
+
+
+def _stopword_values() -> str:
+    from graph_computing_go_spark.operators.text import STOPWORDS
+
+    rows = [
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in ws
+    ]
+    return ", ".join(rows)
+
+
+@register(
+    "language_id",
+    f"""WITH sw(cand_lang, word) AS (VALUES {_stopword_values()}),
+    {_DOC_WORDS_SQL},
+    n_tok AS (SELECT id, COUNT(*) AS n_tokens FROM words GROUP BY id),
+    hits AS (SELECT w.id, sw.cand_lang, COUNT(*) AS hits
+             FROM words w JOIN sw ON w.word = sw.word
+             GROUP BY w.id, sw.cand_lang),
+    best AS (SELECT id, cand_lang AS pred_lang, hits FROM hits
+             QUALIFY ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY hits DESC, cand_lang ASC) = 1)
+    SELECT n_tok.id AS doc_id,
+           COALESCE(best.pred_lang, 'und') AS pred_lang,
+           ROUND(COALESCE(best.hits, 0) / CAST(n_tok.n_tokens AS DOUBLE), 6)
+             AS hit_ratio
+    FROM n_tok LEFT JOIN best ON n_tok.id = best.id""",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language identification."""
+    from graph_computing_go_spark.operators.text import language_id
+
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    """WITH base AS (
+      SELECT doc_id,
+             CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS DOUBLE) AS n_tokens,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               AS alpha_chars
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_word_len,
+           ROUND(alpha_chars / n_chars, 6) AS alpha_ratio,
+           ROUND(0.4 * LEAST(GREATEST(n_tokens/100.0, 0.0), 1.0)
+                 + 0.3 * LEAST(GREATEST(((n_chars-(n_tokens-1))/n_tokens - 2)/5.0,
+                                        0.0), 1.0)
+                 + 0.3 * (alpha_chars / n_chars), 6) AS score
+    FROM base""",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based document quality scoring."""
+    from graph_computing_go_spark.operators.text import quality_score
+
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    """SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ''),
+             c -> CAST(ORD(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fp
+    FROM documents""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint."""
+    from graph_computing_go_spark.operators.text import fingerprint
+
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Training-data toolkit: dedup family (operators/dedup.py)
+# --------------------------------------------------------------------------
+
+_SHINGLES_SQL = f"""
+    {_DOC_WORDS_SQL},
+    sh0 AS (SELECT id,
+                   word || ' ' || LEAD(word, 1) OVER w || ' '
+                        || LEAD(word, 2) OVER w AS shingle,
+                   LEAD(word, 2) OVER w AS last_w
+            FROM words
+            WINDOW w AS (PARTITION BY id ORDER BY pos)),
+    sh AS (SELECT DISTINCT id, shingle FROM sh0 WHERE last_w IS NOT NULL)
+"""
+
+
+@register(
+    "exact_dedup",
+    """SELECT sha256(text) AS hash, MIN(doc_id) AS keep_id,
+              COUNT(*) AS n_dupes
+    FROM documents GROUP BY sha256(text)""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via sha2 grouping, smallest id wins."""
+    from graph_computing_go_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_lsh",
+    f"""WITH {_SHINGLES_SQL},
+    seeded AS (SELECT sh.id, g.s AS seed, sh.shingle
+               FROM sh, generate_series(0, 15) g(s)),
+    sig AS (SELECT id, seed,
+                   MIN(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS minhash
+            FROM seeded GROUP BY id, seed),
+    bands AS (SELECT id, seed // 4 AS band,
+                     md5(string_agg(minhash, ',' ORDER BY minhash)) AS band_key
+              FROM sig GROUP BY id, seed // 4)
+    SELECT l.id AS a, r.id AS b, COUNT(*) AS n_bands
+    FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+    WHERE l.id < r.id GROUP BY l.id, r.id""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate near-dup pairs."""
+    from graph_computing_go_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard",
+    f"""WITH {_SHINGLES_SQL},
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS inter
+              FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.id < r.id
+              GROUP BY l.id, r.id),
+    scored AS (SELECT i.a, i.b, i.inter, sa.n AS n_a, sb.n AS n_b,
+                      ROUND(i.inter / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6)
+                        AS jaccard
+               FROM inter i
+               JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id)
+    SELECT * FROM scored WHERE jaccard >= 0.2""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs with similarity >= 0.2."""
+    from graph_computing_go_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), min_jaccard=0.2
+    )
+
+
+@register(
+    "simhash",
+    """WITH words AS (
+      SELECT id, md5(LOWER(w)) AS h FROM (
+        SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents)),
+    wb AS (SELECT id, h, g.j AS j FROM words, generate_series(0, 31) g(j)),
+    bits AS (SELECT id, j,
+                    (CAST(FLOOR((STRPOS('0123456789abcdef',
+                                        SUBSTR(h, j // 4 + 1, 1)) - 1)
+                                / POWER(2, 3 - j % 4)) AS BIGINT) % 2) * 2 - 1
+                      AS vote
+             FROM wb),
+    bitsum AS (SELECT id, j, SUM(vote) AS s FROM bits GROUP BY id, j)
+    SELECT id AS doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsum GROUP BY id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures per document."""
+    from graph_computing_go_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents")).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data toolkit: similarity search (operators/similarity.py)
+# --------------------------------------------------------------------------
+
+_EMB_NORMS_SQL = """
+    comp AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS i,
+                    CAST(unnest(embedding) AS DOUBLE) AS x
+             FROM embeddings),
+    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM comp GROUP BY vec_id)
+"""
+
+
+@register(
+    "cosine_topk",
+    f"""WITH {_EMB_NORMS_SQL},
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+    dots AS (SELECT c.vec_id AS c_id, qc.vec_id AS q_id,
+                    SUM(c.x * qc.x) AS dot
+             FROM comp c JOIN comp qc
+               ON c.i = qc.i AND qc.vec_id IN (SELECT vec_id FROM q)
+             WHERE c.vec_id != qc.vec_id
+             GROUP BY c.vec_id, qc.vec_id),
+    scored AS (SELECT d.q_id, d.c_id,
+                      ROUND(d.dot / (nc.nrm * nq.nrm), 6) AS cosine
+               FROM dots d
+               JOIN norms nc ON d.c_id = nc.vec_id
+               JOIN norms nq ON d.q_id = nq.vec_id)
+    SELECT q_id, c_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id ASC) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 5""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 5."""
+    from graph_computing_go_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register("cosine_topk_arrow", ORACLES.get("cosine_topk"))
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy scale path for cosine top-k — same oracle as cosine_topk
+    (identical contract, mapInPandas matmul execution)."""
+    from graph_computing_go_spark.operators.similarity import cosine_topk_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+@register(
+    "lsh_ann_topk",
+    f"""WITH {_EMB_NORMS_SQL},
+    planes AS (SELECT c.vec_id, g.p AS p,
+                      SUM(c.x * (((1103515245 * (g.p * 64 + (c.i - 1)) + 12345)
+                                  % 2147483648) / 2147483648.0 - 0.5)) AS dot
+               FROM comp c, generate_series(0, 7) g(p)
+               GROUP BY c.vec_id, g.p),
+    sig AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM planes GROUP BY vec_id),
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+    dots AS (SELECT c.vec_id AS c_id, qc.vec_id AS q_id, SUM(c.x * qc.x) AS dot
+             FROM comp c JOIN comp qc
+               ON c.i = qc.i AND qc.vec_id IN (SELECT vec_id FROM q)
+             WHERE c.vec_id != qc.vec_id
+             GROUP BY c.vec_id, qc.vec_id),
+    scored AS (SELECT d.q_id, d.c_id,
+                      ROUND(d.dot / (nc.nrm * nq.nrm), 6) AS cosine
+               FROM dots d
+               JOIN sig sc ON d.c_id = sc.vec_id
+               JOIN sig sq ON d.q_id = sq.vec_id AND sc.bucket = sq.bucket
+               JOIN norms nc ON d.c_id = nc.vec_id
+               JOIN norms nq ON d.q_id = nq.vec_id)
+    SELECT q_id, c_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id ASC) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 5""",
+)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (8 hyperplanes, exact re-rank)."""
+    from graph_computing_go_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8)

@@ -1,0 +1,186 @@
+"""Document deduplication family for training-data pipelines (task mandate).
+
+Five methods, all shuffle-shaped for scale (shingle explode → hash-key
+groupBy → bucket join), all deterministic, all expressible in portable SQL
+so the DuckDB oracles can verify them value-for-value:
+
+- exact: sha2(content) groupBy, keep min id (one shuffle at document grain);
+- MinHash + LSH: word-k-shingles → per-seed min of md5(seed||shingle) →
+  band signatures → bucket join for candidate pairs;
+- SimHash: 32-bit signature from per-token md5 bits, majority vote per bit;
+- n-gram Jaccard: distinct-shingle self-join → |∩| / |∪| per pair;
+- embedding cosine near-dup lives in operators/similarity.py.
+
+Scale notes: candidate generation never compares all pairs — MinHash bands
+bound the join key cardinality, and the shingle self-join (Jaccard) is the
+classic co-occurrence join with hub shingles ("the") removed by a document-
+frequency cap before the join (df_cap), which is the salting-equivalent for
+this workload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.operators.text import tokens_col
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(hash, keep_id, n_dupes): one row per distinct content, keeping the
+    smallest id (deterministic winner; cf. the reference's
+    dedup-with-preference maps, wikiEntropy.go:163-184)."""
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("hash"), F.col(id_col).alias("id")
+        )
+        .groupBy("hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dupes"))
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle): distinct word-k-shingles per document via a lead()
+    window over exploded tokens — portable to SQL (same lead semantics)."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "w"),
+    ).withColumn("w", F.lower("w"))
+    wnd = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, k)]
+    sh = words.select(
+        "id", F.concat_ws(" ", *cols).alias("shingle"), *[
+            F.lead("w", k - 1).over(wnd).alias("_last")
+        ]
+    )
+    return sh.filter(F.col("_last").isNotNull()).select("id", "shingle").distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """(id, seed, minhash): per-seed min over md5(seed||':'||shingle).
+
+    md5 of the seeded shingle is a uniform 128-bit value; the lexicographic
+    min over hex strings is engine-portable.  One explode (n_hashes per
+    shingle) + one groupBy — the reducer key (id, seed) is small.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    seeded = sh.select("id", "shingle", seeds)
+    return seeded.groupBy("id", "seed").agg(
+        F.min(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        ).alias("minhash")
+    )
+
+
+def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, band_key): concat the band's minhashes → md5 band key."""
+    banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return banded.groupBy("id", "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
+            "band_key"
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(a, b, n_bands): candidate near-dup pairs sharing >=1 LSH band."""
+    sh = shingles(df, id_col, text_col, k)
+    bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
+    l = bands.select("band", "band_key", F.col("id").alias("a"))
+    r = bands.select("band", "band_key", F.col("id").alias("b"))
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_jaccard: float = 0.0,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """(a, b, inter, n_a, n_b, jaccard) for pairs sharing >=1 shingle.
+
+    ``df_cap`` drops shingles appearing in more than that many documents
+    before the self-join (hub-shingle mitigation; the quadratic blowup of a
+    stopword shingle is the same hub problem as NGD's hub in-neighbors,
+    SURVEY.md §4 skew row).
+    """
+    sh = shingles(df, id_col, text_col, k)
+    if df_cap is not None:
+        rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+            F.col("df") <= df_cap
+        )
+        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    l = sh.select("shingle", F.col("id").alias("a"))
+    r = sh.select("shingle", F.col("id").alias("b"))
+    inter = (
+        l.join(r, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash): per-token md5 → first bits/4 hex chars → bit majority.
+
+    Bit j of a token hash is extracted arithmetically from the hex nibble
+    (strpos on '0123456789abcdef'), so DuckDB reproduces it exactly.  The
+    explode is (tokens × bits) rows — bounded, and aggregated immediately.
+    """
+    words = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
+        )
+        .withColumn("w", F.lower("w"))
+        .withColumn("h", F.md5("w"))
+    )
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    wb = words.select("id", "h", j)
+    nib = F.instr(
+        F.lit("0123456789abcdef"),
+        F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1),
+    ) - 1
+    bit = F.floor(nib / F.pow(F.lit(2.0), 3 - F.col("j") % 4)).cast("long") % 2
+    votes = wb.select("id", "j", (bit * 2 - 1).alias("vote"))
+    bitsum = votes.groupBy("id", "j").agg(F.sum("vote").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

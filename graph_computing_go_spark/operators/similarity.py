@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (task mandate).
+
+Input shape: (vec_id: long, embedding: array<float>[, label]).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.  The
+  dot product is a built-in ``aggregate(zip_with(...))`` over the arrays, so
+  the whole plan is JVM-side; queries are broadcast (they are the small side
+  by construction).
+- ``cosine_topk_arrow``: the scale path — same result, computed per
+  partition as one numpy matmul via ``mapInPandas`` (Arrow batches); the
+  query matrix rides along as a plain broadcast variable.  At 100 TB the
+  candidate side streams through executors once, queries stay in memory.
+- ``lsh_ann_topk``: random-hyperplane LSH bucketing — deterministic
+  hyperplanes from an LCG (engine-portable arithmetic), bucket equi-join,
+  exact cosine within the bucket.  Recall < 1 by design; the bucket join
+  replaces the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    return df.withColumn("_v", v).withColumn("_norm", _norm(F.col("_v")))
+
+
+def cosine_pairs(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, c_id, cosine) for every (query, candidate) pair, q != c."""
+    cand = with_norm(df, vec_col).select(
+        F.col(id_col).alias("c_id"), F.col("_v").alias("c_v"), F.col("_norm").alias("c_n")
+    )
+    qry = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), F.col("_v").alias("q_v"), F.col("_norm").alias("q_n")
+    )
+    pairs = cand.crossJoin(F.broadcast(qry)).filter(F.col("q_id") != F.col("c_id"))
+    return pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+        ).alias("cosine"),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, c_id, cosine, rank) — exact top-k by cosine, ties by c_id."""
+    scored = cosine_pairs(df, queries, id_col, vec_col)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def cosine_topk_arrow(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same contract as ``cosine_topk`` but the per-partition scoring is one
+    numpy matmul (Arrow-vectorized, no per-row Python — BASELINE.json:15).
+
+    Partial top-k per partition (heap-free: argpartition) then a global
+    window over k·n_partitions rows — the shuffle carries only candidates.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    out_schema = "q_id long, c_id long, cosine double"
+
+    def score(batches):
+        q_ids, q_mat, q_norm = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            for qi in range(len(q_ids)):
+                col = sims[:, qi]
+                mask = c_ids != q_ids[qi]
+                ids, vals = c_ids[mask], col[mask]
+                if len(ids) > k:
+                    idx = np.argpartition(-vals, k)[:k]
+                    ids, vals = ids[idx], vals[idx]
+                yield pd.DataFrame(
+                    {"q_id": q_ids[qi], "c_id": ids, "cosine": np.round(vals, 6)}
+                )
+
+    partial = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def _lcg_plane(p, j):
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5) —
+    identical arithmetic in Spark and DuckDB (both 64-bit exact here)."""
+    x = (
+        F.lit(1103515245).cast("long") * (p * 64 + j).cast("long") + 12345
+    ) % 2147483648
+    return x / F.lit(2147483648.0) - 0.5
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): sign-pattern bucket over n_planes LCG hyperplanes."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("j", "x"),
+    )
+    p = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
+    comp = v.select("id", "j", "x", p)
+    dots = comp.groupBy("id", "p").agg(
+        F.sum(F.col("x") * _lcg_plane(F.col("p"), F.col("j"))).alias("dot")
+    )
+    return dots.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, c_id, cosine, rank) — approximate top-k within the LSH bucket.
+
+    Same-bucket candidates only: recall trades against the n_planes-implied
+    bucket count (2^n_planes).  Exact cosine re-ranking inside the bucket.
+    """
+    sig = hyperplane_signature(df, n_planes, id_col, vec_col)
+    cand = with_norm(df, vec_col).join(
+        sig.withColumnRenamed("id", id_col), id_col
+    ).select(
+        F.col(id_col).alias("c_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_n"),
+        "bucket",
+    )
+    qsig = hyperplane_signature(queries, n_planes, id_col, vec_col)
+    qry = with_norm(queries, vec_col).join(
+        qsig.withColumnRenamed("id", id_col), id_col
+    ).select(
+        F.col(id_col).alias("q_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_n"),
+        "bucket",
+    )
+    pairs = cand.join(F.broadcast(qry), "bucket").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

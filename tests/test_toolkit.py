@@ -1,0 +1,216 @@
+"""Training-data toolkit tests: dedup / similarity / text / multimodal /
+streaming — hand-checkable fixtures + cross-path equivalence checks.
+
+(The value-level Spark-vs-DuckDB parity of these operators is separately
+enforced by the driver oracle gate; these tests pin the SEMANTICS on tiny
+inputs where the expected values are computed by hand or numpy.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from graph_computing_go_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from graph_computing_go_spark.operators.multimodal import (
+    extract_features,
+    synthesize_media,
+)
+from graph_computing_go_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_arrow,
+    lsh_ann_topk,
+)
+from graph_computing_go_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words entirely unrelated text here"),
+        (5, "le chat est sur la table et le chien est pour"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert got == {1: 9, 2: 9, 3: 9, 4: 7, 5: 11}
+
+
+def test_exact_dedup(spark, docs):
+    rows = exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["n_dupes"] for r in rows}
+    assert by_keep == {1: 2, 2: 1, 4: 1, 5: 1}  # doc 3 collapses into 1
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = shingles(docs, k=3)
+    n = {r["id"]: 0 for r in sh.select("id").distinct().collect()}
+    for r in sh.collect():
+        n[r["id"]] += 1
+    assert n[1] == 7  # 9 tokens -> 7 3-shingles, all distinct
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # identical docs
+    # docs 1 and 2 share 6 of 7 shingles -> J = 6/8
+    assert math.isclose(pairs[(1, 2)], 6 / 8, abs_tol=1e-6)
+    assert (1, 4) not in pairs  # nothing shared
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    cands = {
+        (r["a"], r["b"]): r["n_bands"]
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert cands[(1, 3)] == 4  # identical docs share all 4 bands
+    assert (1, 4) not in cands
+    # near-dup 1-2 shares at least... (probabilistic but deterministic given
+    # md5 — just assert presence keys are a subset of high-jaccard pairs)
+    for (a, b) in cands:
+        assert (a, b) in {(1, 2), (1, 3), (2, 3)}
+
+
+def test_simhash_similarity_order(spark, docs):
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sigs[1] == sigs[3]  # identical docs -> identical signature
+
+    def hamming(x, y):
+        return bin(x ^ y).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[4])
+
+
+def test_language_id(spark, docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got[1] == "en" and got[4] == "und" and got[5] == "fr"
+
+
+def test_quality_score_bounds(spark, docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r["score"] <= 1.0
+        assert r["alpha_ratio"] <= 1.0
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fps[1] == fps[2]  # case + whitespace normalization
+    assert fps[2] != fps[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(40, 16)).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    import numpy as np
+
+    rows = emb.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norm = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norm, norm)
+    queries = emb.filter("vec_id < 3")
+    got = cosine_topk(emb, queries, k=4).collect()
+    for r in got:
+        assert math.isclose(
+            r["cosine"], sims[r["q_id"], r["c_id"]], abs_tol=1e-5
+        )
+    for q in range(3):
+        ids = [r["c_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["q_id"] == q]
+        order = np.argsort(-sims[q])
+        expect = [int(i) for i in order if i != q][:4]
+        assert ids == expect
+
+
+def test_cosine_topk_arrow_equals_dataframe(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    a = sorted(map(tuple, cosine_topk(emb, queries, k=4).collect()))
+    b = sorted(map(tuple, cosine_topk_arrow(emb, queries, k=4).collect()))
+    assert a == b
+
+
+def test_lsh_ann_subset_of_exact_pairs(spark, emb):
+    queries = emb.filter("vec_id < 3")
+    ann = lsh_ann_topk(emb, queries, k=4, n_planes=4).collect()
+    # every ANN result's cosine must equal the exact cosine for that pair
+    exact = {
+        (r["q_id"], r["c_id"]): r["cosine"]
+        for r in cosine_topk(emb, queries, k=1000).collect()
+    }
+    assert len(ann) > 0
+    for r in ann:
+        assert math.isclose(exact[(r["q_id"], r["c_id"])], r["cosine"], abs_tol=1e-9)
+
+
+def test_multimodal_features(spark, docs):
+    media = synthesize_media(docs, "doc_id", "text")
+    rows = media.collect()
+    assert all(r["meta"]["sha256"] is not None for r in rows)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert set(feats) == {1, 2, 3, 4, 5}
+    for r in feats.values():
+        assert math.isclose(sum(r["feature"]), 1.0, abs_tol=1e-9)
+        assert r["modality"] in ("image", "audio", "video")
+    # deterministic: payload of doc 1 == payload of doc 3 (same text)
+    assert feats[1]["mean_byte"] == feats[3]["mean_byte"]
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        extract_features(media, decode_stub="error").collect()
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from graph_computing_go_spark.streaming import (
+        hourly_event_stats_stream,
+        run_stream_once,
+    )
+
+    src = str(tmp_path / "events_src")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+    stream_df = hourly_event_stats_stream(spark, src)
+    got = run_stream_once(stream_df, str(tmp_path / "ck"), "t_stream")
+    import pyspark.sql.functions as F
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    # append mode only emits windows the watermark has closed: windows with
+    # end <= max_ts - 1h; later windows stay in state when the feed drains.
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    g = sorted(map(tuple, got.collect()))
+    b = sorted(t for t in map(tuple, batch.collect()) if t[0] <= cutoff)
+    gc = [t for t in g if t[0] <= cutoff]
+    assert gc == b and len(b) > 100
