@@ -979,3 +979,59 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# Non-SQL-expressible pipelines (no oracle → driver rows-only check):
+# the code-repos ingest path (pandas-UDF link extraction) and the
+# multimodal feature kernel (mapInPandas).  Both deterministic.
+# --------------------------------------------------------------------------
+
+
+@register("code_edge_table")
+def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE.json north-star input path: synthetic (repo, path, commit,
+    lang, content) table → sha256-checked ingest → vectorized import
+    extraction → two-stage resolution → edge table (src, dst, provenance)."""
+    from graph_computing_go_spark.sources import (
+        build_edge_table,
+        synthesize_repos,
+        verify_content_sha256,
+    )
+
+    repos = synthesize_repos(spark, n_files=300, seed=42)
+    verify_content_sha256(repos, repos)  # per-row invariant
+    return build_edge_table(repos)
+
+
+@register("code_graph_entropy")
+def q_code_graph_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship statistics on the code-import graph (the reference's
+    `wikiEntropy -t total` shape on our payload)."""
+    from graph_computing_go_spark.sources import build_edge_table, synthesize_repos
+
+    edges = build_edge_table(synthesize_repos(spark, n_files=300, seed=42))
+    df = structural_entropy(edges.select("src", "dst"))
+    return df.select(
+        F.round("h_in", 6).alias("h_in"),
+        F.round("norm_in", 6).alias("norm_in"),
+        F.col("n_in"),
+    )
+
+
+@register("multimodal_features")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction (Arrow mapInPandas, stubbed codec)."""
+    from graph_computing_go_spark.operators.multimodal import (
+        extract_features,
+        synthesize_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(docs, "doc_id", "text"))
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )

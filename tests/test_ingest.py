@@ -1,0 +1,100 @@
+"""Ingest-pipeline tests: generator determinism, sha256 invariant, link
+extraction + resolution semantics, end-to-end code-graph statistics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.functions.entropy import structural_entropy
+from graph_computing_go_spark.sources import (
+    build_edge_table,
+    extract_imports,
+    resolve_imports,
+    synthesize_repos,
+    verify_content_sha256,
+)
+
+
+@pytest.fixture(scope="module")
+def repos(spark):
+    return synthesize_repos(spark, n_files=200, seed=42).cache()
+
+
+def test_generator_deterministic(spark, repos):
+    again = synthesize_repos(spark, n_files=200, seed=42)
+    a = sorted(
+        (r["repo"], r["path"], r["sha"])
+        for r in repos.select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+    )
+    b = sorted(
+        (r["repo"], r["path"], r["sha"])
+        for r in again.select("repo", "path", F.sha2("content", 256).alias("sha")).collect()
+    )
+    assert a == b and len(a) == 200
+
+
+def test_ingest_sha256_invariant(spark, repos, tmp_path):
+    path = str(tmp_path / "repos_ingested")
+    repos.write.parquet(path)
+    ingested = spark.read.parquet(path)
+    assert verify_content_sha256(repos, ingested) == 200
+    # corruption is detected
+    corrupted = ingested.withColumn(
+        "content",
+        F.when(F.col("path").startswith("a"), F.lit("tampered")).otherwise(
+            F.col("content")
+        ),
+    )
+    n_tampered = corrupted.filter(F.col("content") == "tampered").count()
+    if n_tampered:
+        with pytest.raises(AssertionError):
+            verify_content_sha256(repos, corrupted)
+
+
+def test_handwritten_resolution_cases(spark):
+    rows = [
+        ("o/r1", "a/b_1.py", "c", "python", "import o/r1:a.target_2"),
+        ("o/r1", "a/target_2.py", "c", "python", "x"),
+        # case-mangled ref -> resolves via normalized fallback
+        ("o/r1", "a/b_3.py", "c", "python", "import o/r1:A.TARGET_2"),
+        # dangling -> dropped
+        ("o/r1", "a/b_4.py", "c", "python", "import o/r1:missing.mod"),
+        # self-import -> dropped
+        ("o/r1", "a/b_5.py", "c", "python", "import o/r1:a.b_5"),
+        # go cross-repo
+        ("o/r2", "x/y_6.go", "c", "go", 'import "o/r1/a/target_2"'),
+        # js require
+        ("o/r2", "x/y_7.js", "c", "js", "const m = require('o/r1:a/target_2')"),
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    refs = extract_imports(repos)
+    assert refs.count() == 6  # 'x' body line has no import
+    got = {
+        (r["src_repo"], r["src_path"], r["dst_repo"], r["dst_path"])
+        for r in resolve_imports(repos, refs).collect()
+    }
+    assert got == {
+        ("o/r1", "a/b_1.py", "o/r1", "a/target_2.py"),
+        ("o/r1", "a/b_3.py", "o/r1", "a/target_2.py"),
+        ("o/r2", "x/y_6.go", "o/r1", "a/target_2.py"),
+        ("o/r2", "x/y_7.js", "o/r1", "a/target_2.py"),
+    }
+
+
+def test_edge_table_end_to_end(spark, repos):
+    edges = build_edge_table(repos).cache()
+    n = edges.count()
+    assert n > 50  # the corpus plants ~3 imports/file, most resolvable
+    # vertex ids deterministic: rebuild gives identical edge set
+    again = build_edge_table(synthesize_repos(spark, n_files=200, seed=42))
+    assert sorted(map(tuple, edges.select("src", "dst").collect())) == sorted(
+        map(tuple, again.select("src", "dst").collect())
+    )
+    # no self-loops survived
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    # the flagship statistics run on the code graph
+    se = structural_entropy(edges.select("src", "dst")).collect()[0]
+    assert se["h_in"] is not None and se["h_in"] > 0
