@@ -1,17 +1,17 @@
 """Benchmark runner — prints ONE JSON line with per-query wall times.
 
-Headline queries: the statistics suite (entropy, NGD, distance complexity,
-percent ladder) plus the iterative algorithms (PageRank-to-convergence,
-connected components, triangle count) on the derived link graph at
-``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), on
-``local[$SPARK_GRAFT_CPUS]``.
+Two sections:
 
-The primary metric follows BASELINE.json: edges/sec for
-PageRank-to-convergence + connected components.  Run at two parallelism
-levels for the scaling-efficiency evidence:
-
-    SPARK_GRAFT_CPUS=8 python bench.py
-    SPARK_GRAFT_CPUS=32 python bench.py
+1. **micro** — the oracle-checked queries (statistics suite + iterative
+   algorithms) on the sf-dir derived graph.  These validate end-to-end
+   latency but the sf0.1 graph is only ~500 vertices, so they are
+   overhead-bound and deliberately NOT the scaling metric.
+2. **scale** — PageRank (5 supersteps) + connected components
+   (to convergence) on a deterministically synthesized 10M-edge / 1M-vertex
+   graph with hub skew (hash arithmetic over spark.range — no external
+   data, same bytes at any parallelism).  ``edges_per_sec_iterative`` over
+   this section is the BASELINE.json primary metric; run at
+   SPARK_GRAFT_CPUS=8 and =32 for the N vs 4N scaling-efficiency evidence.
 """
 
 from __future__ import annotations
@@ -70,41 +70,74 @@ def main() -> None:
     t0 = time.time()
     ranks, pr_iters = pagerank(edges, tol=1e-6, max_iter=100)
     ranks.collect()
-    pr_s = time.time() - t0
-    times["pagerank"] = round(pr_s, 3)
+    times["pagerank"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     comps, cc_iters = connected_components(edges)
     comps.collect()
-    cc_s = time.time() - t0
-    times["connected_components"] = round(cc_s, 3)
+    times["connected_components"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     triangle_count(edges).collect()
     times["triangle_count"] = round(time.time() - t0, 3)
 
+    # ---- scale section: synthesized big graph --------------------------
+    big = synth_graph(spark, n_edges=10_000_000, n_vertices=1_000_000).cache()
+    big_edges = big.count()
+
+    t0 = time.time()
+    _, big_pr_iters = pagerank(big, tol=0.0, max_iter=5, dangling="drop")
+    big_pr_s = time.time() - t0
+    times["scale_pagerank_5it"] = round(big_pr_s, 3)
+
+    t0 = time.time()
+    _, big_cc_iters = connected_components(big, max_iter=30)
+    big_cc_s = time.time() - t0
+    times["scale_connected_components"] = round(big_cc_s, 3)
+
     total = round(sum(times.values()), 3)
-    # edges/sec across all supersteps of PR + CC (the BASELINE.json metric);
-    # one "executor" here is the whole local[N] JVM.
-    iter_edges = n_edges * (pr_iters + cc_iters)
-    eps = round(iter_edges / (pr_s + cc_s), 1)
+    # primary metric: edges processed per second across all PR+CC supersteps
+    # on the scale graph; one "executor" here is the whole local[N] JVM.
+    iter_edges = big_edges * (big_pr_iters + big_cc_iters)
+    eps = round(iter_edges / (big_pr_s + big_cc_s), 1)
     print(
         json.dumps(
             {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
+                "metric": "edges_per_sec_iterative",
+                "value": eps,
+                "unit": "edges/sec",
                 "queries": times,
                 "sf": sf,
                 "cpus": cpus,
-                "n_edges": n_edges,
-                "pagerank_iters": pr_iters,
-                "cc_iters": cc_iters,
-                "edges_per_sec_iterative": eps,
+                "micro_n_edges": n_edges,
+                "micro_pagerank_iters": pr_iters,
+                "micro_cc_iters": cc_iters,
+                "scale_n_edges": big_edges,
+                "scale_pr_iters": big_pr_iters,
+                "scale_cc_iters": big_cc_iters,
+                "total_seconds": total,
             }
         )
     )
     spark.stop()
+
+
+def synth_graph(spark, n_edges: int, n_vertices: int):
+    """Deterministic directed graph from hash arithmetic: ~90% uniform
+    endpoints + ~10% of edges pointed at a 1000-vertex hub set (heavy-hitter
+    skew for the salted gather path).  Identical bytes at any parallelism —
+    xxhash64 is seed-fixed and input-determined."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_edges)
+    h1 = F.xxhash64("id")
+    h2 = F.xxhash64("id", F.lit(1))
+    dst_uniform = F.pmod(h2, F.lit(n_vertices))
+    dst_hub = F.pmod(h2, F.lit(1000))
+    return e.select(
+        F.pmod(h1, F.lit(n_vertices)).alias("src"),
+        F.when(F.col("id") % 10 == 0, dst_hub).otherwise(dst_uniform).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
 
 
 if __name__ == "__main__":

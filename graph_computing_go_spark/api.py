@@ -1035,3 +1035,161 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round("mean_byte", 6).alias("mean_byte"),
     )
+
+
+# --------------------------------------------------------------------------
+# Label/taxonomy + set/window operators (P10, J7, J8, §2.5, §2.7)
+# --------------------------------------------------------------------------
+
+_VLABELS_SPARK = None  # built inline in the queries below
+
+
+def _vertex_labels(edges: DataFrame) -> DataFrame:
+    """Deterministic multi-label assignment for derived-graph vertices:
+    everyone gets 'a'; even ids also 'b'; id%7<3 also 'c'."""
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return ids.select(
+        "id",
+        F.concat(
+            F.array(F.lit("a")),
+            F.when(F.col("id") % 2 == 0, F.array(F.lit("b"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+            F.when(F.col("id") % 7 < 3, F.array(F.lit("c"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).alias("labels"),
+    )
+
+
+_VLABELS_SQL = """
+    vl AS (SELECT id,
+                  ['a'] || (CASE WHEN id % 2 = 0 THEN ['b'] ELSE [] END)
+                        || (CASE WHEN id % 7 < 3 THEN ['c'] ELSE [] END)
+                    AS labels
+           FROM (SELECT DISTINCT src AS id FROM edges
+                 UNION SELECT DISTINCT dst FROM edges))
+"""
+
+
+@register(
+    "label_routing",
+    f"""WITH {GRAPH_CTES},
+    {_VLABELS_SQL}
+    SELECT e.src, e.dst,
+           unnest(list_intersect(ls.labels, ld.labels)) AS discipline
+    FROM edges e
+    JOIN vl ls ON e.src = ls.id
+    JOIN vl ld ON e.dst = ld.id""",
+)
+def q_label_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 (openAlexTopDsiplineDistanceComplexity.go:122-149): route each
+    edge to every discipline shared by its endpoints."""
+    from graph_computing_go_spark.operators.labels import route_edges_by_labels
+
+    edges = derive_edges(spark, sf_dir)
+    return route_edges_by_labels(edges, _vertex_labels(edges))
+
+
+@register(
+    "dense_string_ids",
+    """SELECT key, CAST(DENSE_RANK() OVER (ORDER BY key) AS BIGINT) AS dense_id
+    FROM (SELECT DISTINCT p_name AS key FROM part)""",
+)
+def q_dense_string_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 (openAlexLv2DistanceComplexity.go:154-175): deterministic dense id
+    assignment for string keys (dense_rank, not monotonically_increasing_id)."""
+    from graph_computing_go_spark.operators.labels import dense_string_ids
+
+    return dense_string_ids(
+        load_table(spark, sf_dir, "part").select(F.col("p_name")), "p_name"
+    )
+
+
+@register(
+    "core_tag_parse",
+    """SELECT p_partkey,
+       list_sort(list_distinct(
+         list_transform(
+           list_filter([ 'lv1-' || p_brand || '-1998',
+                         'lv2-' || p_type  || '-2001' ],
+                       t -> t LIKE 'lv1-%'),
+           t -> string_split(t, '-')[2])))
+         AS subjects
+    FROM part""",
+)
+def q_core_tag_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (wikiMultilayersSubjectEntropy.go:47-63): parse lv{N}-{Subject}-{year}
+    tags to level-1 subject arrays."""
+    from graph_computing_go_spark.operators.labels import parse_core_tags
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array(
+            F.concat(F.lit("lv1-"), F.col("p_brand"), F.lit("-1998")),
+            F.concat(F.lit("lv2-"), F.col("p_type"), F.lit("-2001")),
+        ).alias("tags"),
+    )
+    return parse_core_tags(part, "tags", level=1).select(
+        "p_partkey", F.sort_array("subjects").alias("subjects")
+    )
+
+
+@register(
+    "anti_join_ledger",
+    """SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def q_anti_join_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 anti-join (the task-ledger skip pattern,
+    extractWikipediaDump.go:50-53): customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "two_rank_universes",
+    """SELECT c_custkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+         AS rank_total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+         AS rank_segment
+    FROM customer""",
+)
+def q_two_rank_universes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 two rank universes over one table (openAlexEntropy.go:255-272
+    total-vs-current ranks as two window columns)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w_total = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_seg = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        F.row_number().over(w_total).alias("rank_total"),
+        F.row_number().over(w_seg).alias("rank_segment"),
+    )
+
+
+@register(
+    "rollup_summary",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice), 6) AS sum_price
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 note: grouping-set machinery the reference lacks but an engine
+    needs — rollup over (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+    )
