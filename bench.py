@@ -82,7 +82,7 @@ def main() -> None:
     times["triangle_count"] = round(time.time() - t0, 3)
 
     # ---- scale section: synthesized big graph --------------------------
-    big = synth_graph(spark, n_edges=10_000_000, n_vertices=1_000_000).cache()
+    big = synth_graph(spark, n_edges=60_000_000, n_vertices=3_000_000).cache()
     big_edges = big.count()
 
     t0 = time.time()

@@ -1193,3 +1193,93 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flagship lifecycle: the yearly-snapshot entropy pipeline (SURVEY.md §3.1)
+# Vertex years derive from id arithmetic (1995 + id % 8); the oracle unrolls
+# one SQL block per (year, percent, rank_type) slice.
+# --------------------------------------------------------------------------
+
+_YEARS = [1997, 1999, 2001]
+_YP_PERCENTS = (20, 60, 100)
+
+
+def _yearly_oracle() -> str:
+    blocks = []
+    for y in sorted(_YEARS, reverse=True):
+        for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
+            for p in _YP_PERCENTS:
+                blocks.append(f"""
+    SELECT {y} AS year, {p} AS percent, '{rank_type}' AS rank_type,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM hist_{y}_{rank_type}_{p}) AS n_vertices,
+           (SELECT COUNT(*) FROM sub_{y}_{rank_type}_{p}) AS n_edges,
+           (SELECT ROUND(LOG2(CAST(SUM(c) AS DOUBLE))
+                         - SUM(c*LOG2(CAST(c AS DOUBLE)))/CAST(SUM(c) AS DOUBLE), 6)
+            FROM hist_{y}_{rank_type}_{p}) AS dd_h_in,
+           (SELECT ROUND(LOG2(SUM(d)) - SUM(d*LOG2(d))/SUM(d), 6)
+            FROM pos_{y}_{rank_type}_{p}) AS se_h_in,
+           (SELECT COUNT(*) FROM pos_{y}_{rank_type}_{p}) AS n_in""")
+    ctes = []
+    for y in sorted(_YEARS, reverse=True):
+        ctes.append(f"""
+    kept_{y} AS (SELECT id FROM vy WHERE year <= {y}),
+    e_{y} AS (SELECT e.src, e.dst FROM edges e
+              WHERE e.src IN (SELECT id FROM kept_{y})
+                AND e.dst IN (SELECT id FROM kept_{y})),
+    cur_{y} AS (SELECT dst AS id, COUNT(*) AS cnt_cur FROM e_{y} GROUP BY dst),
+    cand_{y} AS (SELECT c.id, c.cnt_cur, COALESCE(t.cnt_total, 0) AS cnt_total
+                 FROM cur_{y} c LEFT JOIN tot t ON c.id = t.id
+                 WHERE c.cnt_cur >= 2),
+    n_cand_{y} AS (SELECT COUNT(*) AS n FROM cand_{y})""")
+        for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
+            ctes.append(f"""
+    ranked_{y}_{rank_type} AS (
+      SELECT id, ROW_NUMBER() OVER (ORDER BY {cnt_col} DESC, id ASC) AS rnk
+      FROM cand_{y})""")
+            for p in _YP_PERCENTS:
+                ctes.append(f"""
+    sel_{y}_{rank_type}_{p} AS (
+      SELECT id FROM ranked_{y}_{rank_type}
+      WHERE rnk <= CEIL((SELECT n FROM n_cand_{y}) * {p} / 100)),
+    sub_{y}_{rank_type}_{p} AS (
+      SELECT e.src, e.dst FROM e_{y} e
+      WHERE e.src IN (SELECT id FROM sel_{y}_{rank_type}_{p})
+        AND e.dst IN (SELECT id FROM sel_{y}_{rank_type}_{p})),
+    ind_{y}_{rank_type}_{p} AS (
+      SELECT s.id, COALESCE(g.d, 0) AS d
+      FROM sel_{y}_{rank_type}_{p} s
+      LEFT JOIN (SELECT dst AS id, COUNT(*) AS d
+                 FROM sub_{y}_{rank_type}_{p} GROUP BY dst) g ON s.id = g.id),
+    hist_{y}_{rank_type}_{p} AS (
+      SELECT d, COUNT(*) AS c FROM ind_{y}_{rank_type}_{p} GROUP BY d),
+    pos_{y}_{rank_type}_{p} AS (
+      SELECT CAST(d AS DOUBLE) AS d FROM ind_{y}_{rank_type}_{p} WHERE d > 0)""")
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        "    vy AS (SELECT id, 1995 + CAST(id % 8 AS INT) AS year FROM\n"
+        "           (SELECT DISTINCT src AS id FROM edges\n"
+        "            UNION SELECT DISTINCT dst FROM edges)),\n"
+        "    tot AS (SELECT dst AS id, COUNT(*) AS cnt_total FROM edges GROUP BY dst),"
+        + ",".join(ctes)
+        + "\n"
+        + "\n    UNION ALL".join(blocks)
+    )
+
+
+@register("yearly_entropy", _yearly_oracle())
+def q_yearly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline (openAlexEntropy.go:136-311): yearly snapshots ×
+    percent ladder × {total, current} rank universes → per-slice entropies."""
+    from graph_computing_go_spark.plans.yearly import yearly_entropy_pipeline
+
+    edges = derive_edges(spark, sf_dir).cache()
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    vertices = ids.select("id", (F.lit(1995) + (F.col("id") % 8).cast("int")).alias("year"))
+    return yearly_entropy_pipeline(
+        vertices, edges, _YEARS, percents=_YP_PERCENTS
+    )

@@ -21,12 +21,18 @@ from graph_computing_go_spark.plans.pagerank import vertices_of
 from graph_computing_go_spark.plans.superstep import SuperstepRunner
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
-    """Undirected distinct edge table (both orientations, no self-loops)."""
+def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Undirected edge table (both orientations, no self-loops).
+
+    ``dedup=False`` skips the distinct — a full extra shuffle of 2|E| rows.
+    Safe for idempotent aggregations (min-label CC: duplicate edges change
+    nothing); REQUIRED True for frequency-sensitive ones (label propagation
+    counts votes)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    return e.unionByName(
+    both = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
+    return both.distinct() if dedup else both
 
 
 def connected_components(
@@ -37,7 +43,7 @@ def connected_components(
 ) -> tuple[DataFrame, int]:
     """Returns ((id, component) DataFrame, iterations_run)."""
     spark = edges.sparkSession
-    ud = symmetrize(edges).cache()
+    ud = symmetrize(edges, dedup=False).cache()
     ud.count()
     verts = vertices_of(edges).cache()
 
