@@ -53,7 +53,15 @@ def main() -> None:
         app_name=f"bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 8),
-        extra_conf={"spark.ui.enabled": "false"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # JVM unified-logging warnings (GC stalls) print to stdout and
+            # would corrupt the one-JSON-line contract; silence them.
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "16g"
+            ),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -134,9 +142,14 @@ def synth_graph(spark, n_edges: int, n_vertices: int):
     h2 = F.xxhash64("id", F.lit(1))
     dst_uniform = F.pmod(h2, F.lit(n_vertices))
     dst_hub = F.pmod(h2, F.lit(1000))
+    # int ids: n_vertices << 2^31, and halving the key width halves shuffle
+    # bytes — the superstep is memory-bandwidth-bound (see BENCH/BASELINE.md)
     return e.select(
-        F.pmod(h1, F.lit(n_vertices)).alias("src"),
-        F.when(F.col("id") % 10 == 0, dst_hub).otherwise(dst_uniform).alias("dst"),
+        F.pmod(h1, F.lit(n_vertices)).cast("int").alias("src"),
+        F.when(F.col("id") % 10 == 0, dst_hub)
+        .otherwise(dst_uniform)
+        .cast("int")
+        .alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
 
 

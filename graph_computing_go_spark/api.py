@@ -1283,3 +1283,96 @@ def q_yearly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly_entropy_pipeline(
         vertices, edges, _YEARS, percents=_YP_PERCENTS
     )
+
+
+# --------------------------------------------------------------------------
+# Filtered-scan patterns S3/S4/S6 (array predicates pushed into the scan
+# pipeline; the reference's mongo server-side filters,
+# mongoClient.go:115-161, mongo.go:184-231)
+# --------------------------------------------------------------------------
+
+_DOC_TAGS = """
+    tagged AS (SELECT doc_id, lang, source,
+                      [lang, source, 'y' || CAST(doc_id % 5 AS VARCHAR)] AS tags
+               FROM documents)
+"""
+
+
+def _doc_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array(
+            F.col("lang"),
+            F.col("source"),
+            F.concat(F.lit("y"), (F.col("doc_id") % 5).cast("string")),
+        ).alias("tags"),
+    )
+
+
+@register(
+    "scan_by_array_contains",
+    f"""WITH {_DOC_TAGS}
+    SELECT doc_id, lang FROM tagged WHERE list_contains(tags, 'y3')""",
+)
+def q_scan_by_array_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 (mongoClient.go:115-137): array_contains(year_tags, y) scan filter."""
+    return (
+        _doc_tags(spark, sf_dir)
+        .filter(F.array_contains("tags", "y3"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "scan_by_arrays_overlap",
+    f"""WITH {_DOC_TAGS}
+    SELECT doc_id, source FROM tagged
+    WHERE list_has_any(tags, ['src1', 'src2', 'es'])""",
+)
+def q_scan_by_arrays_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (mongoClient.go:139-161): {tags: {$in: [...]}} scan filter."""
+    return (
+        _doc_tags(spark, sf_dir)
+        .filter(
+            F.arrays_overlap(
+                "tags", F.array(F.lit("src1"), F.lit("src2"), F.lit("es"))
+            )
+        )
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "scan_by_ancestor",
+    """WITH anc AS (
+      SELECT c.c_custkey,
+             [{'name': r.r_name, 'level': 0}, {'name': n.n_name, 'level': 1}]
+               AS ancestors
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey)
+    SELECT c_custkey FROM anc
+    WHERE len(list_filter(ancestors, a -> a.name = 'ASIA')) > 0""",
+)
+def q_scan_by_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 (mongo.go:184-201): exists() over a struct-array ancestor list."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    anc = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.array(
+                F.struct(F.col("r_name").alias("name"), F.lit(0).alias("level")),
+                F.struct(F.col("n_name").alias("name"), F.lit(1).alias("level")),
+            ).alias("ancestors"),
+        )
+    )
+    return anc.filter(
+        F.exists("ancestors", lambda a: a["name"] == F.lit("ASIA"))
+    ).select("c_custkey")

@@ -47,28 +47,31 @@ def connected_components(
     ud.count()
     verts = vertices_of(edges).cache()
 
-    state0 = verts.select("id", F.col("id").alias("component"))
+    # State (id, component, prev): prev carries last iteration's label so the
+    # changed-count is one aggregation over the materialized state.
+    state0 = verts.select(
+        "id", F.col("id").alias("component"), F.col("id").alias("prev")
+    )
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
+        lab = labels.select("id", "component")
         nbr_min = (
-            ud.join(labels.withColumnRenamed("id", "src"), "src")
+            ud.join(lab.select(F.col("id").alias("src"), "component"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        return labels.join(nbr_min, "id", "left").select(
+        return lab.join(nbr_min, "id", "left").select(
             "id",
             F.least(
                 "component", F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
+            F.col("component").alias("prev"),
         )
 
-    def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
-        changed = (
-            new.withColumnRenamed("component", "new_c")
-            .join(old, "id")
-            .filter(F.col("new_c") != F.col("component"))
-            .count()
-        )
+    def converged(_old: DataFrame, new: DataFrame, _i: int) -> bool:
+        changed = new.agg(
+            F.sum((F.col("component") != F.col("prev")).cast("long")).alias("c")
+        ).collect()[0]["c"]
         return changed == 0
 
     runner = runner or SuperstepRunner(spark)
@@ -76,4 +79,4 @@ def connected_components(
         "connected_components", state0, step, converged, max_iter=max_iter,
         resume=resume,
     )
-    return state, iters
+    return state.select("id", "component"), iters

@@ -39,11 +39,14 @@ def label_propagation(
     ud = symmetrize(edges).cache()
     ud.count()
     verts = vertices_of(edges).cache()
-    state0 = verts.select("id", F.col("id").alias("label"))
+    state0 = verts.select(
+        "id", F.col("id").alias("label"), F.col("id").alias("prev")
+    )
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
+        lab = labels.select("id", "label")
         freq = (
-            ud.join(labels.withColumnRenamed("id", "src"), "src")
+            ud.join(lab.select(F.col("id").alias("src"), "label"), "src")
             .groupBy(F.col("dst").alias("id"), "label")
             .agg(F.count("*").alias("c"))
         )
@@ -53,23 +56,22 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", F.col("label").alias("new_label"))
         )
-        return labels.join(best, "id", "left").select(
-            "id", F.coalesce("new_label", F.col("label")).alias("label")
+        return lab.join(best, "id", "left").select(
+            "id",
+            F.coalesce("new_label", F.col("label")).alias("label"),
+            F.col("label").alias("prev"),
         )
 
     if exact_iters is not None:
-        def converged(old: DataFrame, new: DataFrame, i: int) -> bool:
-            new.count()  # materialize the cached state
+        def converged(_old: DataFrame, new: DataFrame, i: int) -> bool:
+            new.count()  # materialize this superstep's checkpoint
             return i >= exact_iters
         max_iter = exact_iters
     else:
-        def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
-            changed = (
-                new.withColumnRenamed("label", "new_l")
-                .join(old, "id")
-                .filter(F.col("new_l") != F.col("label"))
-                .count()
-            )
+        def converged(_old: DataFrame, new: DataFrame, _i: int) -> bool:
+            changed = new.agg(
+                F.sum((F.col("label") != F.col("prev")).cast("long")).alias("c")
+            ).collect()[0]["c"]
             return changed == 0
 
     runner = runner or SuperstepRunner(spark)
@@ -77,4 +79,4 @@ def label_propagation(
         "label_propagation", state0, step, converged, max_iter=max_iter,
         resume=resume,
     )
-    return state, iters
+    return state.select("id", "label"), iters

@@ -79,22 +79,29 @@ def pagerank(
         if dangling_ids.count() == 0:
             dangling_ids = None  # no dangling mass — skip the per-superstep agg
 
-    state0 = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    # State carries (id, rank, prev): prev is last iteration's rank, so the
+    # convergence delta is a single aggregation over the materialized state —
+    # no extra old⋈new join per superstep.
+    state0 = verts.select(
+        "id", F.lit(1.0 / n).alias("rank"), F.lit(1.0 / n).alias("prev")
+    )
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
-        joined = links.join(ranks.withColumnRenamed("id", "src"), "src").select(
-            "dst", (F.col("rank") / F.col("out_deg")).alias("contrib"), "src"
-        )
+        r = ranks.select("id", "rank")
+        joined = links.join(
+            r.select(F.col("id").alias("src"), "rank"), "src"
+        ).select("dst", (F.col("rank") / F.col("out_deg")).alias("contrib"), "src")
         contribs = _salted_sum(joined, "dst", "contrib", salt_buckets).select(
             F.col("dst").alias("id"), F.col("contrib")
         )
         base = F.lit((1.0 - alpha) / n)
+        carried = r.select("id", F.col("rank").alias("prev"))
         if dangling_ids is not None:
-            dm = ranks.join(dangling_ids, "id", "left_semi").agg(
+            dm = r.join(dangling_ids, "id", "left_semi").agg(
                 F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
             return (
-                verts.join(contribs, "id", "left")
+                carried.join(contribs, "id", "left")
                 .crossJoin(F.broadcast(dm))
                 .select(
                     "id",
@@ -103,23 +110,23 @@ def pagerank(
                         + alpha
                         * (F.coalesce("contrib", F.lit(0.0)) + F.col("dm") / n)
                     ).alias("rank"),
+                    "prev",
                 )
             )
-        return verts.join(contribs, "id", "left").select(
-            "id", (base + alpha * F.coalesce("contrib", F.lit(0.0))).alias("rank")
+        return carried.join(contribs, "id", "left").select(
+            "id",
+            (base + alpha * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+            "prev",
         )
 
-    def converged(old: DataFrame, new: DataFrame, _i: int) -> bool:
-        delta = (
-            new.withColumnRenamed("rank", "new_rank")
-            .join(old, "id")
-            .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+    def converged(_old: DataFrame, new: DataFrame, _i: int) -> bool:
+        delta = new.agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d")
+        ).collect()[0]["d"]
         return delta is not None and delta < tol
 
     runner = runner or SuperstepRunner(spark)
     state, iters = runner.run(
         "pagerank", state0, step, converged, max_iter=max_iter, resume=resume
     )
-    return state, iters
+    return state.select("id", "rank"), iters

@@ -216,3 +216,30 @@ def test_superstep_checkpoint_resume(spark, tmp_path):
     rows = {r["id"]: r["rank"] for r in resumed.collect()}
     for v, r in want.items():
         assert math.isclose(rows[v], r, abs_tol=1e-12)
+
+
+def test_resume_skips_torn_checkpoint(spark, tmp_path):
+    """A checkpoint whose manifest row count disagrees with the parquet
+    (torn write) must be skipped; resume falls back to the previous
+    complete iteration."""
+    import json
+    import os
+
+    edges = random_graph(20, 50, seed=3)
+    df = edge_df(spark, edges)
+    ckdir = str(tmp_path / "ck")
+    runner = SuperstepRunner(spark, checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank(df, tol=0.0, max_iter=4, runner=runner)
+    base = os.path.join(ckdir, "pagerank")
+    # corrupt the newest manifest: claim one extra row in partition 0
+    manifests = sorted(
+        f for f in os.listdir(base) if f.startswith("manifest_")
+    )
+    newest = os.path.join(base, manifests[-1])
+    with open(newest) as f:
+        m = json.load(f)
+    m["partitions"][0]["rows"] += 1
+    with open(newest, "w") as f:
+        json.dump(m, f)
+    it, _state = runner.latest_checkpoint("pagerank")
+    assert it == int(manifests[-2][len("manifest_"):-len(".json")])
