@@ -1,0 +1,312 @@
+"""Command-line surface mirroring the reference's cobra CLI
+(/root/reference/cmd/*.go) — every subcommand the reference ships has a
+Spark-first equivalent here, launched either as
+
+    python -m graph_computing_go_spark.cli <cmd> [...]
+
+or on a cluster as
+
+    spark-submit --py-files gcgs.zip -m ... cli.py <cmd> [...]
+
+(package the library with ``zip -r gcgs.zip graph_computing_go_spark``).
+
+Reference command → subcommand map:
+
+| reference (cmd/*.go) | here |
+|---|---|
+| `wikiEntropy -t total` (cmd/wikiEntropy.go:29-38) | `yearly-entropy` |
+| `oae -t total` (cmd/oae.go:23-41) | `yearly-entropy` (same lifecycle, works payload) |
+| `oae -t degreeStats` / `wikiDegreeStats` | `degree-stats` |
+| `wikipediaGoogleDistance` (cmd/wikipediaGoogleDistance.go) | `google-distance` |
+| `oae -t tddc` / distance-complexity family | `distance-complexity` |
+| `wikipediaInDegree` (cmd/wikipediaInDegree.go) | `in-degree` |
+| (north rule additions) | `pagerank`, `connected-components`, `label-propagation`, `triangles` |
+| `extractWikipediaDump` (ingest) | `ingest-repos` |
+
+Inputs are parquet paths (edge table ``src,dst``; vertex tables as noted);
+results are appended to ``--output <warehouse>/<table>`` via
+sources/io.write_result.  Every command prints ONE summary JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from graph_computing_go_spark import get_spark
+
+    return get_spark(app_name=f"gcgs-{args.cmd}", master=args.master)
+
+
+def _edges(spark, path):
+    return spark.read.parquet(path).select("src", "dst")
+
+
+def _emit(**kv):
+    print(json.dumps(kv))
+
+
+def cmd_yearly_entropy(args):
+    from graph_computing_go_spark.plans.yearly import yearly_entropy_pipeline
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges)
+    vertices = spark.read.parquet(args.vertices).select("id", "year")
+    res = yearly_entropy_pipeline(
+        vertices, edges, years=args.years, percents=tuple(args.percents)
+    )
+    write_result(res, args.output, "yearly_entropy", partition_by=("year",))
+    _emit(cmd=args.cmd, rows=res.count(), output=f"{args.output}/yearly_entropy")
+
+
+def cmd_degree_stats(args):
+    from graph_computing_go_spark.functions.entropy import (
+        degree_distribution_entropy,
+        degree_histogram,
+        structural_entropy,
+    )
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges)
+    for kind in ("in", "out", "all"):
+        write_result(
+            degree_histogram(edges, kind).withColumn("kind", F.lit(kind)),
+            args.output,
+            "degree_histogram",
+        )
+    dd = degree_distribution_entropy(edges)
+    dd = dd.select([F.col(c).alias(f"dd_{c}") for c in dd.columns])
+    stats = structural_entropy(edges).crossJoin(dd)
+    write_result(stats, args.output, "entropy_stats")
+    _emit(cmd=args.cmd, output=args.output)
+
+
+def cmd_google_distance(args):
+    from graph_computing_go_spark.functions.ngd import google_distance
+    from graph_computing_go_spark.operators.graph import rank_by_in_degree
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges).cache()
+    ranked = rank_by_in_degree(edges)
+    core = ranked.filter(F.col("rank") <= args.core_top_k).select("id")
+    n = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
+    res = google_distance(edges, core, n)
+    write_result(res, args.output, "google_distance")
+    _emit(cmd=args.cmd, pairs=res.count(), n_vertices=n)
+
+
+def cmd_distance_complexity(args):
+    from graph_computing_go_spark.functions.distance_complexity import (
+        distance_complexity,
+    )
+    from graph_computing_go_spark.sources.io import read_weighted_tsv, write_result
+
+    spark = _spark(args)
+    if args.tsv:
+        w = read_weighted_tsv(spark, args.tsv)
+        ids = None  # concept names → dense ids
+        from graph_computing_go_spark.operators.labels import dense_string_ids
+
+        names = w.select(F.col("concept1").alias("key")).unionByName(
+            w.select(F.col("concept2").alias("key"))
+        )
+        ids = dense_string_ids(names, "key")
+        w = (
+            w.join(ids.withColumnRenamed("key", "concept1"), "concept1")
+            .withColumnRenamed("dense_id", "a")
+            .join(ids.withColumnRenamed("key", "concept2"), "concept2")
+            .withColumnRenamed("dense_id", "b")
+            .select("a", "b", "distance")
+        )
+    else:
+        w = spark.read.parquet(args.wedges).select("a", "b", "distance")
+    cats = (
+        spark.read.parquet(args.categories).select("id", "cats")
+        if args.categories
+        else None
+    )
+    res = distance_complexity(w, cats)
+    write_result(res, args.output, "distance_complexity")
+    row = res.collect()[0]
+    _emit(cmd=args.cmd, big=row["big"], little=row["little"])
+
+
+def cmd_in_degree(args):
+    from graph_computing_go_spark.operators.graph import current_in_degree
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    res = current_in_degree(_edges(spark, args.edges))
+    write_result(res, args.output, "in_degree")
+    _emit(cmd=args.cmd, rows=res.count())
+
+
+def _iterative(args, fn, state_cols, table):
+    from graph_computing_go_spark.plans.superstep import SuperstepRunner
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges)
+    runner = (
+        SuperstepRunner(spark, checkpoint_dir=args.checkpoint_dir)
+        if args.checkpoint_dir
+        else None
+    )
+    state, iters = fn(edges, runner=runner, resume=args.resume)
+    write_result(state, args.output, table)
+    _emit(cmd=args.cmd, iterations=iters, rows=state.count())
+
+
+def cmd_pagerank(args):
+    from graph_computing_go_spark.plans import pagerank
+
+    _iterative(
+        args,
+        lambda e, **kw: pagerank(
+            e, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
+            salt_buckets=args.salt_buckets, **kw
+        ),
+        ("id", "rank"),
+        "pagerank",
+    )
+
+
+def cmd_connected_components(args):
+    from graph_computing_go_spark.plans import connected_components
+
+    _iterative(
+        args,
+        lambda e, **kw: connected_components(e, max_iter=args.max_iter, **kw),
+        ("id", "component"),
+        "connected_components",
+    )
+
+
+def cmd_label_propagation(args):
+    from graph_computing_go_spark.plans import label_propagation
+
+    _iterative(
+        args,
+        lambda e, **kw: label_propagation(e, max_iter=args.max_iter, **kw),
+        ("id", "label"),
+        "label_propagation",
+    )
+
+
+def cmd_triangles(args):
+    from graph_computing_go_spark.plans import triangle_count, triangles_per_vertex
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges)
+    total = triangle_count(edges, degree_oriented=args.degree_oriented).collect()[
+        0
+    ]["n_triangles"]
+    pv = triangles_per_vertex(edges)
+    write_result(pv, args.output, "triangles_per_vertex")
+    _emit(cmd=args.cmd, n_triangles=total)
+
+
+def cmd_ingest_repos(args):
+    from graph_computing_go_spark.sources import (
+        build_edge_table,
+        verify_content_sha256,
+    )
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    repos = spark.read.parquet(args.repos)
+    verified = verify_content_sha256(repos, repos)
+    edges = build_edge_table(repos)
+    write_result(edges, args.output, "code_edges")
+    _emit(cmd=args.cmd, verified_rows=verified, edges=edges.count())
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="gcgs")
+    p.add_argument("--master", default=None, help="override spark master")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, edges=True):
+        if edges:
+            sp.add_argument("--edges", required=True)
+        sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser("yearly-entropy")
+    common(sp)
+    sp.add_argument("--vertices", required=True)
+    sp.add_argument("--years", type=int, nargs="+", required=True)
+    sp.add_argument(
+        "--percents", type=int, nargs="+", default=[10, 20, 40, 60, 80, 100]
+    )
+    sp.set_defaults(fn=cmd_yearly_entropy)
+
+    sp = sub.add_parser("degree-stats")
+    common(sp)
+    sp.set_defaults(fn=cmd_degree_stats)
+
+    sp = sub.add_parser("google-distance")
+    common(sp)
+    sp.add_argument("--core-top-k", type=int, default=100)
+    sp.set_defaults(fn=cmd_google_distance)
+
+    sp = sub.add_parser("distance-complexity")
+    sp.add_argument("--wedges")
+    sp.add_argument("--tsv")
+    sp.add_argument("--categories")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_distance_complexity)
+
+    sp = sub.add_parser("in-degree")
+    common(sp)
+    sp.set_defaults(fn=cmd_in_degree)
+
+    for name, fn in (
+        ("pagerank", cmd_pagerank),
+        ("connected-components", cmd_connected_components),
+        ("label-propagation", cmd_label_propagation),
+    ):
+        sp = sub.add_parser(name)
+        common(sp)
+        sp.add_argument("--max-iter", type=int, default=100)
+        sp.add_argument("--checkpoint-dir", default=None)
+        sp.add_argument("--resume", action="store_true")
+        if name == "pagerank":
+            sp.add_argument("--alpha", type=float, default=0.85)
+            sp.add_argument("--tol", type=float, default=1e-6)
+            sp.add_argument("--salt-buckets", type=int, default=0)
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("triangles")
+    common(sp)
+    sp.add_argument("--degree-oriented", action="store_true")
+    sp.set_defaults(fn=cmd_triangles)
+
+    sp = sub.add_parser("ingest-repos")
+    sp.add_argument("--repos", required=True)
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_ingest_repos)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()
