@@ -1376,3 +1376,50 @@ def q_scan_by_ancestor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anc.filter(
         F.exists("ancestors", lambda a: a["name"] == F.lit("ASIA"))
     ).select("c_custkey")
+
+
+@register(
+    "ivf_ann_topk",
+    f"""WITH {_EMB_NORMS_SQL},
+    cd AS (SELECT c.vec_id, g.k AS k,
+                  SUM(c.x * (((1103515245 * (g.k * 997 + (c.i - 1)) + 54321)
+                              % 2147483648) / 2147483648.0 - 0.5)) AS dot
+           FROM comp c, generate_series(0, 7) g(k)
+           GROUP BY c.vec_id, g.k),
+    assign AS (SELECT vec_id, k AS centroid FROM cd
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, k ASC) = 1),
+    q AS (SELECT vec_id FROM embeddings WHERE vec_id < 5),
+    probes AS (SELECT vec_id, k AS centroid FROM cd
+               WHERE vec_id IN (SELECT vec_id FROM q)
+               QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, k ASC) <= 2),
+    dots AS (SELECT c.vec_id AS c_id, qc.vec_id AS q_id, SUM(c.x * qc.x) AS dot
+             FROM comp c JOIN comp qc
+               ON c.i = qc.i AND qc.vec_id IN (SELECT vec_id FROM q)
+             WHERE c.vec_id != qc.vec_id
+             GROUP BY c.vec_id, qc.vec_id),
+    scored AS (SELECT DISTINCT d.q_id, d.c_id,
+                      ROUND(d.dot / (nc.nrm * nq.nrm), 6) AS cosine
+               FROM dots d
+               JOIN assign ac ON d.c_id = ac.vec_id
+               JOIN probes pq ON d.q_id = pq.vec_id
+                             AND ac.centroid = pq.centroid
+               JOIN norms nc ON d.c_id = nc.vec_id
+               JOIN norms nq ON d.q_id = nq.vec_id)
+    SELECT q_id, c_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                   ORDER BY cosine DESC, c_id ASC) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 5""",
+)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted lists on 8 deterministic centroids, 2-probe search,
+    exact re-rank (the task's IVF scale path for similarity search)."""
+    from graph_computing_go_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
+    )

@@ -217,3 +217,94 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def _lcg_centroid(k, j):
+    """Deterministic centroid component in [-0.5, 0.5) — decorrelated from
+    the LSH planes by a different stride/offset; long arithmetic for
+    engine parity (int32 products overflow silently in Spark)."""
+    x = (
+        F.lit(1103515245).cast("long") * (k * 997 + j).cast("long") + 54321
+    ) % 2147483648
+    return x / F.lit(2147483648.0) - 0.5
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_limit: int = 1,
+) -> DataFrame:
+    """(id, centroid, dot): nearest ``rank_limit`` centroids per vector by
+    dot product against the deterministic LCG centroid matrix (a stand-in
+    for trained k-means centroids — swap the centroid expression for a
+    broadcast table of learned centroids without changing the plan)."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("j", "x"),
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(n_centroids - 1))).alias("k")
+    comp = v.select("id", "j", "x", k)
+    dots = comp.groupBy("id", "k").agg(
+        F.sum(F.col("x") * _lcg_centroid(F.col("k"), F.col("j"))).alias("dot")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("dot"), F.asc("k"))
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rank_limit)
+        .select("id", F.col("k").alias("centroid"), "dot")
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, c_id, cosine, rank): IVF search — candidates live in their
+    single nearest centroid's inverted list; each query probes its
+    ``n_probe`` nearest centroids and re-ranks exactly within them.
+
+    Scale shape: the inverted-list assignment is one grouped aggregation;
+    the probe is an equi-join on centroid id (no cross product); recall
+    trades against n_probe exactly like a trained IVF index.
+    """
+    assign = ivf_assign(df, n_centroids, id_col, vec_col, rank_limit=1)
+    cand = with_norm(df, vec_col).join(
+        assign.withColumnRenamed("id", id_col).select(id_col, "centroid"), id_col
+    ).select(
+        F.col(id_col).alias("c_id"),
+        F.col("_v").alias("c_v"),
+        F.col("_norm").alias("c_n"),
+        "centroid",
+    )
+    probes = ivf_assign(queries, n_centroids, id_col, vec_col, rank_limit=n_probe)
+    qry = with_norm(queries, vec_col).join(
+        probes.withColumnRenamed("id", id_col).select(id_col, "centroid"), id_col
+    ).select(
+        F.col(id_col).alias("q_id"),
+        F.col("_v").alias("q_v"),
+        F.col("_norm").alias("q_n"),
+        "centroid",
+    )
+    pairs = cand.join(F.broadcast(qry), "centroid").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    scored = pairs.select(
+        "q_id",
+        "c_id",
+        F.round(
+            _dot(F.col("q_v"), F.col("c_v")) / (F.col("q_n") * F.col("c_n")), 6
+        ).alias("cosine"),
+    ).dropDuplicates(["q_id", "c_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )

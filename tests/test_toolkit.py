@@ -214,3 +214,54 @@ def test_streaming_matches_batch(spark, tmp_path):
     b = sorted(t for t in map(tuple, batch.collect()) if t[0] <= cutoff)
     gc = [t for t in g if t[0] <= cutoff]
     assert gc == b and len(b) > 100
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == window-function batch twin
+    on every CLOSED session (the open trailing session per user stays in
+    state in a one-shot run)."""
+    from graph_computing_go_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "ev")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").write.parquet(src)
+
+    stream_df = sessionize_stream(spark, src, gap_minutes=30)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_sessions")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.table("t_sessions").collect()
+    }
+
+    batch = sessionize_batch(spark.read.parquet(src), gap_minutes=30)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("session_no"))
+    closed = (
+        batch.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") > 1)  # drop each user's last (still-open) session
+        .drop("rn")
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in closed.collect()
+    }
+    assert len(want) > 50
+    assert got == want
