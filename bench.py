@@ -7,7 +7,7 @@ Two sections:
    latency but the sf0.1 graph is only ~500 vertices, so they are
    overhead-bound and deliberately NOT the scaling metric.
 2. **scale** — PageRank (5 supersteps) + connected components
-   (to convergence) on a deterministically synthesized 10M-edge / 1M-vertex
+   (to convergence) on a deterministically synthesized 60M-edge / 3M-vertex
    graph with hub skew (hash arithmetic over spark.range — no external
    data, same bytes at any parallelism).  ``edges_per_sec_iterative`` over
    this section is the BASELINE.json primary metric; run at

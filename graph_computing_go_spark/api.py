@@ -580,7 +580,7 @@ def _pagerank_oracle(iters: int) -> str:
 
 @register("pagerank_fixed", _pagerank_oracle(_PR_ITERS))
 def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, {_PR_ITERS} power iterations, dangling mass dropped (the
+    f"""PageRank, {_PR_ITERS} power iterations, dangling mass dropped (the
     derived graph has no dangling vertices at sf>=0.001 so drop==redistribute
     there; the redistribute path is golden-tested in tests/test_plans.py)."""
     from graph_computing_go_spark.plans import pagerank
@@ -634,7 +634,7 @@ def _lp_oracle(iters: int) -> str:
 
 @register("label_propagation_fixed", _lp_oracle(_LP_ITERS))
 def q_label_propagation_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous label propagation, {_LP_ITERS} supersteps, ties -> min."""
+    f"""Synchronous label propagation, {_LP_ITERS} supersteps, ties -> min."""
     from graph_computing_go_spark.plans import label_propagation
 
     labels, _ = label_propagation(

@@ -114,6 +114,8 @@ def cmd_distance_complexity(args):
     )
     from graph_computing_go_spark.sources.io import read_weighted_tsv, write_result
 
+    if not args.tsv and not args.wedges:
+        sys.exit("distance-complexity requires --tsv or --wedges")
     spark = _spark(args)
     if args.tsv:
         w = read_weighted_tsv(spark, args.tsv)
@@ -138,7 +140,7 @@ def cmd_distance_complexity(args):
         if args.categories
         else None
     )
-    res = distance_complexity(w, cats)
+    res = distance_complexity(w, cats).cache()  # written AND printed: one run
     write_result(res, args.output, "distance_complexity")
     row = res.collect()[0]
     _emit(cmd=args.cmd, big=row["big"], little=row["little"])
@@ -158,6 +160,8 @@ def _iterative(args, fn, state_cols, table):
     from graph_computing_go_spark.plans.superstep import SuperstepRunner
     from graph_computing_go_spark.sources.io import write_result
 
+    if args.resume and not args.checkpoint_dir:
+        sys.exit("--resume requires --checkpoint-dir (nothing to resume from)")
     spark = _spark(args)
     edges = _edges(spark, args.edges)
     runner = (

@@ -116,16 +116,19 @@ def cosine_topk_arrow(
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+            # round BEFORE pruning: the final window ranks by rounded cosine
+            # with c_id tie-break, so the per-partition top-k must use the
+            # same ordering or k-boundary ties diverge from cosine_topk
+            sims = np.round((c_mat @ q_mat.T) / np.outer(c_norm, q_norm), 6)
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
                 mask = c_ids != q_ids[qi]
                 ids, vals = c_ids[mask], col[mask]
                 if len(ids) > k:
-                    idx = np.argpartition(-vals, k)[:k]
-                    ids, vals = ids[idx], vals[idx]
+                    order = np.lexsort((ids, -vals))[:k]
+                    ids, vals = ids[order], vals[order]
                 yield pd.DataFrame(
-                    {"q_id": q_ids[qi], "c_id": ids, "cosine": np.round(vals, 6)}
+                    {"q_id": q_ids[qi], "c_id": ids, "cosine": vals}
                 )
 
     partial = df.select(id_col, vec_col).mapInPandas(score, out_schema)

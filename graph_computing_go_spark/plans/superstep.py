@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 Step = Callable[[DataFrame, int], DataFrame]
 
 
+def _wrap64(x: int) -> int:
+    """Fold an arbitrary-precision int to signed 64-bit (Spark sum wraps)."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def _partition_lineage(df: DataFrame) -> list[dict]:
     rows = (
         df.withColumn("__pid", F.spark_partition_id())
@@ -116,8 +122,21 @@ class SuperstepRunner:
             if not os.path.isdir(path):
                 continue
             df = self.spark.read.parquet(path)
-            expect = sum(p["rows"] for p in manifest["partitions"])
-            if df.count() == expect:
+            expect_rows = sum(p["rows"] for p in manifest["partitions"])
+            # content check, not just cardinality: iterative state always has
+            # |V| rows, so a stale iteration would pass a pure row count.
+            # Summed xxhash64 is partition-layout independent; both sides
+            # wrap at 64 bits (Spark sum wraps in non-ANSI mode).
+            expect_sum = _wrap64(
+                sum(p["checksum"] or 0 for p in manifest["partitions"])
+            )
+            got = df.agg(
+                F.count("*").alias("rows"),
+                F.sum(F.xxhash64(*manifest["columns"])).alias("checksum"),
+            ).collect()[0]
+            if got["rows"] == expect_rows and (
+                expect_rows == 0 or _wrap64(got["checksum"]) == expect_sum
+            ):
                 return i, df
         return None
 

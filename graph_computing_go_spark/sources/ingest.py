@@ -101,8 +101,17 @@ def resolve_imports(repos: DataFrame, refs: DataFrame) -> DataFrame:
         F.col("path").alias("dst_path"),
         F.regexp_replace("path", r"\.[a-z]+$", "").alias("stem"),
     )
-    exact = file_dim.select(
-        "tgt_repo", F.col("stem").alias("tgt_stem"), F.col("dst_path").alias("dst_exact")
+    # winner-selection on BOTH keys: two files can share a stem (util.py vs
+    # util.js); the reference's map insertion keeps one winner, so do we
+    # (deterministic: smallest path)
+    exact = (
+        file_dim.select(
+            "tgt_repo",
+            F.col("stem").alias("tgt_stem"),
+            F.col("dst_path").alias("dst_exact"),
+        )
+        .groupBy("tgt_repo", "tgt_stem")
+        .agg(F.min("dst_exact").alias("dst_exact"))
     )
     norm = (
         file_dim.select(
@@ -162,11 +171,18 @@ def verify_content_sha256(source: DataFrame, ingested: DataFrame) -> int:
         "repo", "path", F.sha2("content", 256).alias("sha_dst")
     )
     joined = s.join(t, ["repo", "path"], "full_outer")
-    bad = joined.filter(
-        F.col("sha_src").isNull()
-        | F.col("sha_dst").isNull()
-        | (F.col("sha_src") != F.col("sha_dst"))
-    ).count()
-    if bad:
-        raise AssertionError(f"content sha256 mismatch on {bad} rows")
-    return joined.count()
+    # one aggregation = one job (content is hashed on both sides — doing a
+    # second count() would re-execute the whole join)
+    row = joined.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (
+                F.col("sha_src").isNull()
+                | F.col("sha_dst").isNull()
+                | (F.col("sha_src") != F.col("sha_dst"))
+            ).cast("long")
+        ).alias("bad"),
+    ).collect()[0]
+    if row["bad"]:
+        raise AssertionError(f"content sha256 mismatch on {row['bad']} rows")
+    return row["total"]

@@ -98,3 +98,20 @@ def test_edge_table_end_to_end(spark, repos):
     # the flagship statistics run on the code graph
     se = structural_entropy(edges.select("src", "dst")).collect()[0]
     assert se["h_in"] is not None and se["h_in"] > 0
+
+
+def test_stem_collision_single_winner(spark):
+    """Two files sharing a stem (util.py / util.js): one import ref must
+    resolve to exactly ONE edge (smallest path wins), like the reference's
+    map insertion keeps one winner."""
+    rows = [
+        ("o/r1", "lib/util.py", "c", "python", "x"),
+        ("o/r1", "lib/util.js", "c", "js", "x"),
+        ("o/r1", "a/b.py", "c", "python", "import o/r1:lib.util"),
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    got = resolve_imports(repos, extract_imports(repos)).collect()
+    assert len(got) == 1
+    assert got[0]["dst_path"] == "lib/util.js"  # lexicographically smallest

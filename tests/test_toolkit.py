@@ -265,3 +265,17 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     }
     assert len(want) > 50
     assert got == want
+
+
+def test_cosine_topk_arrow_tie_break_parity(spark):
+    """k-boundary ties after 6-decimal rounding must break identically
+    (rounded cosine desc, c_id asc) in the exact and Arrow paths."""
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(0, base)] + [(i, base) for i in range(1, 7)]  # 6 identical cands
+    rows += [(7, [-1.0, 0.5, 2.0, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0")
+    a = sorted(map(tuple, cosine_topk(emb, q, k=3).collect()))
+    b = sorted(map(tuple, cosine_topk_arrow(emb, q, k=3).collect()))
+    assert a == b
+    assert [r[1] for r in sorted(a, key=lambda r: r[3])] == [1, 2, 3]
