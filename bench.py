@@ -47,7 +47,9 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # default 16: the measured throughput optimum on this host — 32 threads
+    # REGRESS on the bandwidth-bound supersteps (BENCH/BASELINE.md §1)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     spark = get_spark(
         app_name=f"bench-{cpus}",
@@ -103,6 +105,21 @@ def main() -> None:
     big_cc_s = time.time() - t0
     times["scale_connected_components"] = round(big_cc_s, 3)
 
+    # ---- ingest section: repos table → sha gate → edge table ------------
+    from graph_computing_go_spark.sources import (
+        build_edge_table,
+        synthesize_repos,
+        verify_content_sha256,
+    )
+
+    t0 = time.time()
+    repos = synthesize_repos(spark, n_files=20_000, seed=42).cache()
+    n_files = repos.count()
+    verify_content_sha256(repos, repos)
+    ingest_edges = build_edge_table(repos).count()
+    ingest_s = time.time() - t0
+    times["scale_ingest_20k_files"] = round(ingest_s, 3)
+
     total = round(sum(times.values()), 3)
     # primary metric: edges processed per second across all PR+CC supersteps
     # on the scale graph; one "executor" here is the whole local[N] JVM.
@@ -123,6 +140,8 @@ def main() -> None:
                 "scale_n_edges": big_edges,
                 "scale_pr_iters": big_pr_iters,
                 "scale_cc_iters": big_cc_iters,
+                "ingest_files_per_sec": round(n_files / ingest_s, 1),
+                "ingest_edges": ingest_edges,
                 "total_seconds": total,
             }
         )

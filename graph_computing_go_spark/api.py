@@ -1423,3 +1423,39 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=2
     )
+
+
+@register(
+    "embedding_near_dup",
+    f"""WITH {_EMB_NORMS_SQL},
+    planes AS (SELECT c.vec_id, g.p AS p,
+                      SUM(c.x * (((1103515245 * (g.p * 64 + (c.i - 1)) + 12345)
+                                  % 2147483648) / 2147483648.0 - 0.5)) AS dot
+               FROM comp c, generate_series(0, 7) g(p)
+               GROUP BY c.vec_id, g.p),
+    sig AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN dot > 0 THEN CAST(POWER(2, p) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS bucket
+            FROM planes GROUP BY vec_id),
+    cand AS (SELECT l.vec_id AS a, r.vec_id AS b
+             FROM sig l JOIN sig r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+    dots AS (SELECT c.a, c.b, SUM(ca.x * cb.x) AS dot
+             FROM cand c
+             JOIN comp ca ON ca.vec_id = c.a
+             JOIN comp cb ON cb.vec_id = c.b AND ca.i = cb.i
+             GROUP BY c.a, c.b),
+    scored AS (SELECT d.a, d.b, ROUND(d.dot/(na.nrm*nb.nrm), 6) AS cosine
+               FROM dots d JOIN norms na ON d.a = na.vec_id
+               JOIN norms nb ON d.b = nb.vec_id)
+    SELECT a, b, cosine, LEAST(a, b) AS keep_id
+    FROM scored WHERE cosine >= 0.3""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidate generation, threshold
+    0.3 — the synthetic embeddings have no >0.95 dups, so the oracle checks a
+    non-trivial pair set at a lower threshold)."""
+    from graph_computing_go_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3
+    )

@@ -184,3 +184,45 @@ def simhash(
             )
         ).alias("simhash")
     )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cosine, keep_id): embedding-cosine near-duplicate pairs above
+    ``threshold``, candidate-generated by LSH buckets (never all-pairs), with
+    the canonical survivor = min id — the embedding-space member of the
+    dedup family (exact/minhash/simhash cover the lexical space)."""
+    from graph_computing_go_spark.operators.similarity import (
+        hyperplane_signature,
+        with_norm,
+        _dot,
+    )
+
+    sig = hyperplane_signature(df, n_planes, id_col, vec_col)
+    vecs = with_norm(df, vec_col).join(
+        sig.withColumnRenamed("id", id_col).select(id_col, "bucket"), id_col
+    )
+    l = vecs.select(
+        F.col(id_col).alias("a"), F.col("_v").alias("va"),
+        F.col("_norm").alias("na"), "bucket",
+    )
+    r = vecs.select(
+        F.col(id_col).alias("b"), F.col("_v").alias("vb"),
+        F.col("_norm").alias("nb"), "bucket",
+    )
+    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    scored = pairs.select(
+        "a",
+        "b",
+        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
+            "cosine"
+        ),
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "a", "b", "cosine", F.least("a", "b").alias("keep_id")
+    )
