@@ -1459,3 +1459,38 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), threshold=0.3
     )
+
+
+@register(
+    "wiki_degree_quirk_histograms",
+    """WITH pages AS (
+      SELECT doc_id,
+             list_slice(string_split_regex(trim(text), '\\s+'),
+                        1, CAST(doc_id % 5 AS INT)) AS links_out,
+             list_slice(string_split_regex(trim(text), '\\s+'),
+                        1, CAST(doc_id % 3 AS INT)) AS links_out_ids
+      FROM documents),
+    u AS (SELECT 'links_in' AS kind, len(links_out_ids) AS degree FROM pages
+          UNION ALL
+          SELECT 'links_out', len(links_out) FROM pages)
+    SELECT kind, CAST(degree AS INT) AS degree, COUNT(*) AS n_nodes
+    FROM u GROUP BY kind, degree""",
+)
+def q_wiki_degree_quirk_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 faithfulness quirk (degreeStats.go:33-38): 'links_in' histograms
+    the RESOLVED out-degree, 'links_out' the raw out-link count.  Synthetic
+    pages: raw links = first doc_id%5 tokens, resolved = first doc_id%3."""
+    from graph_computing_go_spark.operators.labels import wiki_degree_histograms
+    from graph_computing_go_spark.operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.col("doc_id").alias("id"),
+        F.slice(tokens_col("text"), 1, (F.col("doc_id") % 5).cast("int")).alias(
+            "links_out"
+        ),
+        F.slice(tokens_col("text"), 1, (F.col("doc_id") % 3).cast("int")).alias(
+            "links_out_ids"
+        ),
+    )
+    return wiki_degree_histograms(pages)

@@ -54,21 +54,29 @@ def _canonical(wedges: DataFrame) -> DataFrame:
 
 def _with_copies(wedges: DataFrame, categories: DataFrame):
     """Apply the category-copy quirk; return (edges, node_cat(id, cat))."""
-    max_id_row = (
-        categories.agg(F.greatest(F.max("id"), F.lit(0)).alias("m")).collect()[0]
+    # lazy max-id: 1-row aggregates broadcast-crossJoined instead of two
+    # eager collect jobs per invocation
+    max_c = categories.agg(
+        F.coalesce(F.max("id"), F.lit(0)).alias("__mc")
     )
-    max_e = wedges.agg(F.greatest(F.max("a"), F.max("b")).alias("m")).collect()[0]
-    max_id = max(max_id_row[0] or 0, max_e[0] or 0)
+    max_e = wedges.agg(
+        F.coalesce(F.greatest(F.max("a"), F.max("b")), F.lit(0)).alias("__me")
+    )
+    max_df = max_c.crossJoin(max_e).select(
+        F.greatest("__mc", "__me").alias("__max_id")
+    )
 
     multi = categories.filter(F.size("cats") > 1)
     copies = (
         multi.select("id", F.posexplode("cats").alias("pos", "cat"))
         .filter(F.col("pos") >= 1)
+        .crossJoin(F.broadcast(max_df))
         .withColumn(
             "copy_id",
-            F.lit(max_id)
+            F.col("__max_id")
             + F.row_number().over(Window.orderBy("id", "pos")).cast("long"),
         )
+        .drop("__max_id")
     )
     node_cat = categories.select(
         "id", F.element_at("cats", 1).alias("cat")

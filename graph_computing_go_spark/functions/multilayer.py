@@ -39,18 +39,22 @@ from pyspark.sql import functions as F
 
 def _expanded_graph(vertices: DataFrame, edges: DataFrame):
     """Apply category-copy + shrink; return (nodes(id, cat), efull(src, dst))."""
-    max_id = vertices.agg(F.max("id")).collect()[0][0]  # one scalar, driver-safe
+    # max(id) rides along as a broadcast 1-row crossJoin: keeps the whole
+    # query lazy (no separate collect job per invocation)
+    max_df = vertices.agg(F.max("id").alias("__max_id"))
 
     base = vertices.select("id", F.element_at("cats", 1).alias("cat"))
     multi = vertices.filter(F.size("cats") > 1)
     copies = (
         multi.select("id", F.posexplode("cats").alias("pos", "cat"))
         .filter(F.col("pos") >= 1)
+        .crossJoin(F.broadcast(max_df))
         .withColumn(
             "copy_id",
-            F.lit(max_id)
+            F.col("__max_id")
             + F.row_number().over(Window.orderBy("id", "pos")).cast("long"),
         )
+        .drop("__max_id")
     )
     copy_map = copies.select(F.col("id").alias("orig"), "copy_id")
     nodes = base.unionByName(
