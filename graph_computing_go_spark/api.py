@@ -1494,3 +1494,23 @@ def q_wiki_degree_quirk_histograms(spark: SparkSession, sf_dir: str) -> DataFram
         ),
     )
     return wiki_degree_histograms(pages)
+
+
+@register(
+    "exact_quantiles",
+    """SELECT l_returnflag,
+       ROUND(CAST(quantile_disc(l_extendedprice, 0.5) AS DOUBLE), 6) AS p50,
+       ROUND(CAST(quantile_disc(l_extendedprice, 0.9) AS DOUBLE), 6) AS p90,
+       ROUND(CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag""",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (the sketch-free baseline; the
+    approx_percentile sketch path shares the plan shape but is not
+    value-portable across engines, so the oracle pins the exact variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p50"),
+        F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p90"),
+        F.round(F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p99"),
+    )

@@ -115,3 +115,20 @@ def test_stem_collision_single_winner(spark):
     got = resolve_imports(repos, extract_imports(repos)).collect()
     assert len(got) == 1
     assert got[0]["dst_path"] == "lib/util.js"  # lexicographically smallest
+
+
+def test_extraction_edge_cases(spark):
+    """Null content, unknown language, and empty repos must not crash the
+    vectorized extraction path."""
+    rows = [
+        ("o/r1", "a.py", "c", "python", None),
+        ("o/r1", "b.rs", "c", "rust", "use foo::bar;"),  # no extractor
+        ("o/r1", "c.py", "c", "python", ""),
+    ]
+    repos = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    assert extract_imports(repos).count() == 0
+    empty = repos.filter("1=0")
+    assert extract_imports(empty).count() == 0
+    assert build_edge_table(repos).count() == 0
