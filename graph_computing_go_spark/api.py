@@ -498,8 +498,8 @@ def q_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     """SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        ROUND(AVG(l_quantity), 6) AS avg_qty,
        COUNT(*) AS count_order
     FROM lineitem
@@ -514,9 +514,11 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            # price sums reach 1e9+ at sf>=0.1: 2-decimal rounding keeps the
+            # check meaningful while tolerating ULP-level association error
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count("*").alias("count_order"),
@@ -1182,7 +1184,7 @@ def q_two_rank_universes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_summary",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       ROUND(SUM(l_extendedprice), 6) AS sum_price
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
 )
 def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,7 +1193,7 @@ def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
@@ -1220,40 +1222,45 @@ def _yearly_oracle() -> str:
            (SELECT ROUND(LOG2(SUM(d)) - SUM(d*LOG2(d))/SUM(d), 6)
             FROM pos_{y}_{rank_type}_{p}) AS se_h_in,
            (SELECT COUNT(*) FROM pos_{y}_{rank_type}_{p}) AS n_in""")
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and this reference chain
+    # (sel -> ranked -> cand -> cur -> e -> kept, each referenced 2-3x) blows
+    # up multiplicatively without it (observed: minutes -> hours at sf0.1)
     ctes = []
     for y in sorted(_YEARS, reverse=True):
         ctes.append(f"""
-    kept_{y} AS (SELECT id FROM vy WHERE year <= {y}),
-    e_{y} AS (SELECT e.src, e.dst FROM edges e
+    kept_{y} AS MATERIALIZED (SELECT id FROM vy WHERE year <= {y}),
+    e_{y} AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
               WHERE e.src IN (SELECT id FROM kept_{y})
                 AND e.dst IN (SELECT id FROM kept_{y})),
-    cur_{y} AS (SELECT dst AS id, COUNT(*) AS cnt_cur FROM e_{y} GROUP BY dst),
-    cand_{y} AS (SELECT c.id, c.cnt_cur, COALESCE(t.cnt_total, 0) AS cnt_total
-                 FROM cur_{y} c LEFT JOIN tot t ON c.id = t.id
-                 WHERE c.cnt_cur >= 2),
-    n_cand_{y} AS (SELECT COUNT(*) AS n FROM cand_{y})""")
+    cur_{y} AS MATERIALIZED (SELECT dst AS id, COUNT(*) AS cnt_cur
+                             FROM e_{y} GROUP BY dst),
+    cand_{y} AS MATERIALIZED (
+        SELECT c.id, c.cnt_cur, COALESCE(t.cnt_total, 0) AS cnt_total
+        FROM cur_{y} c LEFT JOIN tot t ON c.id = t.id
+        WHERE c.cnt_cur >= 2),
+    n_cand_{y} AS MATERIALIZED (SELECT COUNT(*) AS n FROM cand_{y})""")
         for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
             ctes.append(f"""
-    ranked_{y}_{rank_type} AS (
+    ranked_{y}_{rank_type} AS MATERIALIZED (
       SELECT id, ROW_NUMBER() OVER (ORDER BY {cnt_col} DESC, id ASC) AS rnk
       FROM cand_{y})""")
             for p in _YP_PERCENTS:
                 ctes.append(f"""
-    sel_{y}_{rank_type}_{p} AS (
+    sel_{y}_{rank_type}_{p} AS MATERIALIZED (
       SELECT id FROM ranked_{y}_{rank_type}
       WHERE rnk <= CEIL((SELECT n FROM n_cand_{y}) * {p} / 100)),
-    sub_{y}_{rank_type}_{p} AS (
+    sub_{y}_{rank_type}_{p} AS MATERIALIZED (
       SELECT e.src, e.dst FROM e_{y} e
       WHERE e.src IN (SELECT id FROM sel_{y}_{rank_type}_{p})
         AND e.dst IN (SELECT id FROM sel_{y}_{rank_type}_{p})),
-    ind_{y}_{rank_type}_{p} AS (
+    ind_{y}_{rank_type}_{p} AS MATERIALIZED (
       SELECT s.id, COALESCE(g.d, 0) AS d
       FROM sel_{y}_{rank_type}_{p} s
       LEFT JOIN (SELECT dst AS id, COUNT(*) AS d
                  FROM sub_{y}_{rank_type}_{p} GROUP BY dst) g ON s.id = g.id),
-    hist_{y}_{rank_type}_{p} AS (
+    hist_{y}_{rank_type}_{p} AS MATERIALIZED (
       SELECT d, COUNT(*) AS c FROM ind_{y}_{rank_type}_{p} GROUP BY d),
-    pos_{y}_{rank_type}_{p} AS (
+    pos_{y}_{rank_type}_{p} AS MATERIALIZED (
       SELECT CAST(d AS DOUBLE) AS d FROM ind_{y}_{rank_type}_{p} WHERE d > 0)""")
     return (
         f"WITH {GRAPH_CTES},\n"
