@@ -19,15 +19,17 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: structural + degree-distribution entropy of the derived link
     graph at sf0.001 (the reference's `wikiEntropy -t total` in miniature)."""
+    from pyspark.sql import functions as F
+
     from graph_computing_go_spark.api import (
         q_degree_distribution_entropy,
         q_structural_entropy,
     )
 
     sf_dir = "/root/testdata/sf0.001"
-    return q_structural_entropy(spark, sf_dir).crossJoin(
-        q_degree_distribution_entropy(spark, sf_dir)
-    )
+    dd = q_degree_distribution_entropy(spark, sf_dir)
+    dd = dd.select([F.col(c).alias(f"dd_{c}") for c in dd.columns])
+    return q_structural_entropy(spark, sf_dir).crossJoin(dd)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
