@@ -1521,3 +1521,99 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p90"),
         F.round(F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)"), 6).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining set-op / join-shape coverage (§2.3 J5, §2.7, classic multi-join)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "revenue_per_nation",
+    """SELECT n.n_name,
+       COUNT(*) AS n_lineitems,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name""",
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic 4-way star join + agg (fact ⋈ dims with broadcastable
+    nation): the multi-join shape every analytics engine must get right."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "subject_union_vertices",
+    f"""WITH {GRAPH_CTES}
+    SELECT id, COUNT(*) AS n_subjects FROM (
+      SELECT DISTINCT dst AS id, 'hub' AS subject FROM edges
+      GROUP BY dst HAVING COUNT(*) >= 100
+      UNION
+      SELECT DISTINCT src AS id, 'source' AS subject FROM edges
+      GROUP BY src HAVING COUNT(*) >= 100
+    ) GROUP BY id""",
+)
+def q_subject_union_vertices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 union of per-subject vertex sets with dedup
+    (openAlexMultilayerSubjectEntropy.go:142-148: per-subject maps merged
+    into one vertex universe) — here 'hub' (in-deg>=100) ∪ 'source'
+    (out-deg>=100) with per-vertex membership counts."""
+    edges = derive_edges(spark, sf_dir)
+    hubs = (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 100)
+        .select("id", F.lit("hub").alias("subject"))
+    )
+    sources = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 100)
+        .select("id", F.lit("source").alias("subject"))
+    )
+    return (
+        hubs.unionByName(sources)
+        .dropDuplicates(["id", "subject"])
+        .groupBy("id")
+        .agg(F.count("*").alias("n_subjects"))
+    )
+
+
+@register(
+    "graph_shrink",
+    f"""WITH {GRAPH_CTES},
+    keep AS (SELECT DISTINCT dst AS id FROM edges WHERE dst % 2 = 0),
+    shrunk AS (SELECT e.src, e.dst FROM edges e
+               WHERE e.dst IN (SELECT id FROM keep))
+    SELECT dst AS id, COUNT(*) AS cnt FROM shrunk GROUP BY dst""",
+)
+def q_graph_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 (openAlexEntropy.go:341-363): drop edges whose dst left the vertex
+    set (here: odd ids), recompute the current in-degree as the side effect."""
+    from graph_computing_go_spark.operators.graph import shrink
+
+    edges = derive_edges(spark, sf_dir)
+    keep = (
+        edges.select(F.col("dst").alias("id"))
+        .distinct()
+        .filter(F.col("id") % 2 == 0)
+    )
+    return current_in_degree(shrink(edges, keep))
