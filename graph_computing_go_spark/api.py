@@ -582,9 +582,6 @@ def _pagerank_oracle(iters: int) -> str:
 
 @register("pagerank_fixed", _pagerank_oracle(_PR_ITERS))
 def q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""PageRank, {_PR_ITERS} power iterations, dangling mass dropped (the
-    derived graph has no dangling vertices at sf>=0.001 so drop==redistribute
-    there; the redistribute path is golden-tested in tests/test_plans.py)."""
     from graph_computing_go_spark.plans import pagerank
 
     ranks, _ = pagerank(
@@ -636,13 +633,23 @@ def _lp_oracle(iters: int) -> str:
 
 @register("label_propagation_fixed", _lp_oracle(_LP_ITERS))
 def q_label_propagation_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f"""Synchronous label propagation, {_LP_ITERS} supersteps, ties -> min."""
     from graph_computing_go_spark.plans import label_propagation
 
     labels, _ = label_propagation(
         derive_edges(spark, sf_dir), exact_iters=_LP_ITERS
     )
     return labels
+
+
+q_pagerank_fixed.__doc__ = (
+    f"PageRank, {_PR_ITERS} power iterations, dangling mass dropped (the "
+    "derived graph has no dangling vertices at sf>=0.001 so "
+    "drop==redistribute there; the redistribute path is golden-tested in "
+    "tests/test_plans.py)."
+)
+q_label_propagation_fixed.__doc__ = (
+    f"Synchronous label propagation, {_LP_ITERS} supersteps, ties -> min."
+)
 
 
 @register(
@@ -1001,9 +1008,15 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         verify_content_sha256,
     )
 
+    import tempfile
+
     repos = synthesize_repos(spark, n_files=300, seed=42)
-    verify_content_sha256(repos, repos)  # per-row invariant
-    return build_edge_table(repos)
+    # per-row invariant as a REAL round-trip check (source vs re-read copy)
+    td = tempfile.mkdtemp(prefix="gcgs_ingest_")
+    repos.write.mode("overwrite").parquet(f"{td}/repos")
+    ingested = spark.read.parquet(f"{td}/repos")
+    verify_content_sha256(repos, ingested)
+    return build_edge_table(ingested)
 
 
 @register("code_graph_entropy")

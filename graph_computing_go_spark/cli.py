@@ -60,7 +60,7 @@ def cmd_yearly_entropy(args):
     vertices = spark.read.parquet(args.vertices).select("id", "year")
     res = yearly_entropy_pipeline(
         vertices, edges, years=args.years, percents=tuple(args.percents)
-    )
+    ).cache()  # written AND counted: one execution
     write_result(res, args.output, "yearly_entropy", partition_by=("year",))
     _emit(cmd=args.cmd, rows=res.count(), output=f"{args.output}/yearly_entropy")
 
@@ -103,7 +103,7 @@ def cmd_google_distance(args):
         .distinct()
         .count()
     )
-    res = google_distance(edges, core, n)
+    res = google_distance(edges, core, n).cache()
     write_result(res, args.output, "google_distance")
     _emit(cmd=args.cmd, pairs=res.count(), n_vertices=n)
 
@@ -119,7 +119,6 @@ def cmd_distance_complexity(args):
     spark = _spark(args)
     if args.tsv:
         w = read_weighted_tsv(spark, args.tsv)
-        ids = None  # concept names → dense ids
         from graph_computing_go_spark.operators.labels import dense_string_ids
 
         names = w.select(F.col("concept1").alias("key")).unionByName(
@@ -151,12 +150,12 @@ def cmd_in_degree(args):
     from graph_computing_go_spark.sources.io import write_result
 
     spark = _spark(args)
-    res = current_in_degree(_edges(spark, args.edges))
+    res = current_in_degree(_edges(spark, args.edges)).cache()
     write_result(res, args.output, "in_degree")
     _emit(cmd=args.cmd, rows=res.count())
 
 
-def _iterative(args, fn, state_cols, table):
+def _iterative(args, fn, table):
     from graph_computing_go_spark.plans.superstep import SuperstepRunner
     from graph_computing_go_spark.sources.io import write_result
 
@@ -170,6 +169,7 @@ def _iterative(args, fn, state_cols, table):
         else None
     )
     state, iters = fn(edges, runner=runner, resume=args.resume)
+    state = state.cache()
     write_result(state, args.output, table)
     _emit(cmd=args.cmd, iterations=iters, rows=state.count())
 
@@ -183,7 +183,6 @@ def cmd_pagerank(args):
             e, alpha=args.alpha, tol=args.tol, max_iter=args.max_iter,
             salt_buckets=args.salt_buckets, **kw
         ),
-        ("id", "rank"),
         "pagerank",
     )
 
@@ -194,7 +193,6 @@ def cmd_connected_components(args):
     _iterative(
         args,
         lambda e, **kw: connected_components(e, max_iter=args.max_iter, **kw),
-        ("id", "component"),
         "connected_components",
     )
 
@@ -205,26 +203,26 @@ def cmd_label_propagation(args):
     _iterative(
         args,
         lambda e, **kw: label_propagation(e, max_iter=args.max_iter, **kw),
-        ("id", "label"),
         "label_propagation",
     )
 
 
 def cmd_triangles(args):
-    from graph_computing_go_spark.plans import triangle_count, triangles_per_vertex
+    from graph_computing_go_spark.plans import triangles_per_vertex
     from graph_computing_go_spark.sources.io import write_result
 
     spark = _spark(args)
     edges = _edges(spark, args.edges)
-    total = triangle_count(edges, degree_oriented=args.degree_oriented).collect()[
-        0
-    ]["n_triangles"]
-    pv = triangles_per_vertex(edges)
+    # one triangle enumeration: total = sum of corner counts / 3
+    pv = triangles_per_vertex(edges).cache()
     write_result(pv, args.output, "triangles_per_vertex")
+    total = pv.agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long")).collect()[0][0]
     _emit(cmd=args.cmd, n_triangles=total)
 
 
 def cmd_ingest_repos(args):
+    import os
+
     from graph_computing_go_spark.sources import (
         build_edge_table,
         verify_content_sha256,
@@ -233,8 +231,13 @@ def cmd_ingest_repos(args):
 
     spark = _spark(args)
     repos = spark.read.parquet(args.repos)
-    verified = verify_content_sha256(repos, repos)
-    edges = build_edge_table(repos)
+    # a REAL round-trip gate: persist the ingested copy, verify the
+    # read-back content hashes against the source (source vs source would
+    # be vacuous)
+    ingested_path = os.path.join(args.output, "code_repos")
+    repos.write.mode("overwrite").parquet(ingested_path)
+    verified = verify_content_sha256(repos, spark.read.parquet(ingested_path))
+    edges = build_edge_table(spark.read.parquet(ingested_path)).cache()
     write_result(edges, args.output, "code_edges")
     _emit(cmd=args.cmd, verified_rows=verified, edges=edges.count())
 

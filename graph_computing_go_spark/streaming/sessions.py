@@ -11,6 +11,14 @@ Scale notes: state is one tiny row per active user key, partitioned by the
 group key; the pandas kernel sees each user's batch slice as Arrow data (no
 per-row Python).  In a one-shot (availableNow) run, each user's final
 session remains open in state and is NOT emitted — tests account for that.
+
+Ordering contract: events are sorted per user WITHIN a micro-batch; an
+event arriving in a LATER batch that predates the open session folds into
+it (session_start = min), but an event older than an already-EMITTED
+session is assigned to the open session, not retroactively to the emitted
+one — the standard no-watermark trade-off.  Batch-twin equality therefore
+holds exactly when each user's events arrive in order across batches (one
+batch, as in availableNow over a single file, trivially qualifies).
 """
 
 from __future__ import annotations
@@ -58,7 +66,10 @@ def _sessionize_kernel(gap_seconds: int):
                 out.append((user_id, start, last, n, s))
                 start, last, n, s = t, t, 1, float(v)
             else:
-                last, n, s = max(last, t), n + 1, s + float(v)
+                # cross-batch stragglers may predate the open session: fold
+                # with min-start (see module ordering contract)
+                start, last = min(start, t), max(last, t)
+                n, s = n + 1, s + float(v)
         state.update((int(start), int(last), int(n), float(s)))
         if out:
             df = pd.DataFrame(
