@@ -214,7 +214,7 @@ def cmd_triangles(args):
     spark = _spark(args)
     edges = _edges(spark, args.edges)
     # one triangle enumeration: total = sum of corner counts / 3
-    pv = triangles_per_vertex(edges).cache()
+    pv = triangles_per_vertex(edges, degree_oriented=args.degree_oriented).cache()
     write_result(pv, args.output, "triangles_per_vertex")
     total = pv.agg((F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long")).collect()[0][0]
     _emit(cmd=args.cmd, n_triangles=total)

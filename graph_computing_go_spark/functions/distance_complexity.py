@@ -123,7 +123,9 @@ def distance_complexity(
     if node_cat is None:
         return big.select("big", F.lit(None).cast("double").alias("little"))
 
-    nc = F.broadcast(node_cat)
+    # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
+    # copy maps above stay broadcast — they are genuinely small
+    nc = node_cat
     tagged = (
         e.join(nc.select(F.col("id").alias("a"), F.col("cat").alias("cat_a")), "a")
         .join(nc.select(F.col("id").alias("b"), F.col("cat").alias("cat_b")), "b")

@@ -101,7 +101,9 @@ def multilayer_structural_entropy(
 
     big = _in_entropy(e_full, []).select(F.col("h").alias("big"))
 
-    n = F.broadcast(nodes)
+    # vertex-grain table: NO broadcast hint — at billion-vertex scale it
+    # cannot fit executor memory; AQE picks broadcast when genuinely small
+    n = nodes
     tagged = (
         e_full.join(n.select(F.col("id").alias("src"), F.col("cat").alias("cat_src")), "src")
         .join(n.select(F.col("id").alias("dst"), F.col("cat").alias("cat_dst")), "dst")

@@ -15,11 +15,18 @@ co-occurrence counting via a self-equi-join on the shared in-neighbor:
     inedges(src, dst) |> self-join on src with dst_l < dst_r
                       |> groupBy(dst_l, dst_r).count()
 
-The join key is the *in-neighbor*, so a hub source that links to k core pages
-fans out to k*(k-1)/2 pairs — that is the true output size, not avoidable;
-AQE skew-join splitting plus a pre-aggregation per (src) keeps partitions
-bounded.  Distinct-ification of (src, dst) happens once up front (the
-reference's hashsets dedup implicitly).
+The join key is the *in-neighbor*, so a hub source that links to k core
+pages fans out to k*(k-1)/2 pairs — the true output size, not avoidable.
+What IS avoidable is one task owning the whole k² blowup: each src's core
+dst-list is bucketed into m = ceil(k/chunk) hash buckets and every element
+replicated to the m bucket-pair groups it participates in (the standard
+balanced all-pairs "triangle grid"), so the join key becomes
+(src, bucket_i, bucket_j) and a mega-hub's pairs spread over m(m+1)/2
+independent tasks of ~(2·chunk)² pairs each.  Exact: a pair is emitted only
+in the single group matching its own bucket pair.  Non-hub sources have
+m = 1 and take the plain (src)-keyed path unchanged.  Distinct-ification of
+(src, dst) happens once up front (the reference's hashsets dedup
+implicitly).
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ def google_distance(
     edges: DataFrame,
     core_vertices: DataFrame,
     total_count: int,
+    chunk: int = 1024,
 ) -> DataFrame:
     """(a, b, inter, deg_a, deg_b, distance) for core pairs with overlap.
 
@@ -40,8 +48,13 @@ def google_distance(
     ``core_vertices``: single column ``id`` — the vertex subset to compare
     (core_subject_tag pages in the reference, :66-68).
     ``total_count``: N in the formula (len(pageMap), :94).
+    ``chunk``: per-bucket dst budget for the hub grid — a src with more than
+    ``chunk`` core out-links is split over ceil(k/chunk)² pair-buckets,
+    bounding any single task at ~(2·chunk)² generated pairs.
     """
     core = core_vertices.select("id").distinct()
+    # the core set is bounded by construction (top-k slice / subject tag
+    # whitelist) — broadcasting it is safe and skips a shuffle
     inedges = (
         edges.join(F.broadcast(core).withColumnRenamed("id", "dst"), "dst", "left_semi")
         .select("src", "dst")
@@ -49,11 +62,37 @@ def google_distance(
     )
     indeg = inedges.groupBy("dst").agg(F.count("*").alias("deg"))
 
-    l = inedges.select(F.col("src"), F.col("dst").alias("a"))
-    r = inedges.select(F.col("src"), F.col("dst").alias("b"))
+    # per-src fanout k → bucket count m = ceil(k/chunk) (1 for non-hubs)
+    fan = inedges.groupBy("src").agg(
+        F.ceil(F.count("*") / F.lit(chunk)).cast("int").alias("m")
+    )
+    e = inedges.join(fan, "src").withColumn(
+        "bkt", F.pmod(F.xxhash64("dst"), F.col("m")).cast("int")
+    )
+    grid = e.withColumn(
+        "x", F.explode(F.sequence(F.lit(0), F.col("m") - 1))
+    ).select(
+        "src",
+        F.least("bkt", "x").alias("gi"),
+        F.greatest("bkt", "x").alias("gj"),
+        "bkt",
+        "dst",
+    )
+    l = grid.select(
+        "src", "gi", "gj", F.col("bkt").alias("ba"), F.col("dst").alias("a")
+    )
+    r = grid.select(
+        "src", "gi", "gj", F.col("bkt").alias("bb"), F.col("dst").alias("b")
+    )
     pairs = (
-        l.join(r, "src")
-        .filter(F.col("a") < F.col("b"))
+        l.join(r, ["src", "gi", "gj"])
+        .filter(
+            (F.col("a") < F.col("b"))
+            # a pair counts only in the ONE group equal to its own bucket
+            # pair — otherwise same-bucket pairs would surface in m groups
+            & (F.col("gi") == F.least("ba", "bb"))
+            & (F.col("gj") == F.greatest("ba", "bb"))
+        )
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )

@@ -94,25 +94,73 @@ def min_in_degree_filter(edges: DataFrame, min_deg: int = 2) -> DataFrame:
     return current_in_degree(edges).filter(F.col("cnt") >= min_deg).select("id")
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` under ``order_cols`` WITHOUT the
+    single-partition ``Window.orderBy`` collapse (SURVEY §4 sort row; the
+    reference's one global sort is wikiEntropy.go:290-294).
+
+    Plan: range-partitioned shuffle on the sort keys (partition i holds keys
+    strictly before partition i+1's), a per-partition window rank (parallel),
+    and partition-offset addition from a tiny per-partition count aggregate
+    (|shuffle partitions| rows — the only serial window runs over THAT, not
+    the data).  The exchange feeding both branches is identical, so Catalyst
+    reuses it; RangePartitioner's sample seed is partition-index-derived,
+    hence boundaries are deterministic for deterministic input either way.
+
+    ``order_cols``: Column expressions WITH sort direction (``F.desc(...)``);
+    include a unique tie-break so ranking is total.  Emits ``rank_col`` as
+    long (row counts at the 10^12 grain overflow int).
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # explicit numPartitions: AQE never re-coalesces a user-specified
+    # repartition, so the pid ↔ range mapping is stable within the query.
+    # monotonically_increasing_id over the partition-sorted rows encodes
+    # (partition id << 33) | local ordinal — local ranks with NO second
+    # full-data exchange and no per-partition window.
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.expr("shiftright(__mid, 33)").cast("int"))
+        .withColumn(
+            "__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+        )
+    )
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
+    # the only serial window: |shuffle partitions| rows, bounded at any scale
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__local") + 1 + F.col("__off"))
+        .drop("__pid", "__off", "__mid", "__local")
+    )
+
+
 def rank_by_in_degree(edges: DataFrame) -> DataFrame:
     """(id, cnt, rank, n_total): dense global ranking by in-degree desc,
     deterministic tie-break by id asc (the reference's slices.SortFunc is
     also deterministic on the insertion order of equal keys; we pin ties by
     id so goldens are stable, SURVEY §7 hard-part 1).
 
-    Scale note: ``Window.orderBy`` with no partition key collapses to one
-    task.  The ranked table here is vertex-grain (|V| rows, orders of
-    magnitude smaller than |E| after the in-degree aggregation), so a single
-    ordered partition of longs is acceptable even at 10^9 vertices; if not,
-    swap to orderBy + per-partition offsets (SURVEY §4 note) without
-    changing callers.
+    Ranking runs through ``global_row_number`` — range-partitioned, no
+    single-partition exchange, safe at 10^12-vertex grain.
     """
     indeg = current_in_degree(edges)
-    w = Window.orderBy(F.desc("cnt"), F.asc("id"))
     total = indeg.count()
-    return indeg.select(
-        "id", "cnt", F.row_number().over(w).alias("rank"), F.lit(total).alias("n_total")
-    )
+    ranked = global_row_number(indeg, [F.desc("cnt"), F.asc("id")], "rank")
+    return ranked.select("id", "cnt", "rank", F.lit(total).alias("n_total"))
 
 
 def top_percent(ranked: DataFrame, percent: int) -> DataFrame:

@@ -66,14 +66,15 @@ def route_edges_by_labels(
 def dense_string_ids(df: DataFrame, key_col: str) -> DataFrame:
     """(key, dense_id): deterministic 1-based dense ids ordered by key.
 
-    Scale note: a global dense_rank collapses to one ordered partition; the
-    key table is a dimension (distinct strings), orders of magnitude smaller
-    than fact tables, so this is the right trade until keys ~10^9 (then:
-    range-partitioned sort + partition-offset ids, same caveat as
-    rank_by_in_degree)."""
+    Keys are distinct, so dense_rank == row_number and the ranking routes
+    through ``global_row_number`` (range-partitioned sort + per-partition
+    offsets) — no single-partition exchange even at 10^9+ keys."""
+    from graph_computing_go_spark.operators.graph import global_row_number
+
     keys = df.select(F.col(key_col).alias("key")).distinct()
-    w = Window.orderBy("key")
-    return keys.select("key", F.dense_rank().over(w).cast("long").alias("dense_id"))
+    return global_row_number(keys, [F.asc("key")], "dense_id").select(
+        "key", F.col("dense_id").cast("long").alias("dense_id")
+    )
 
 
 def wiki_degree_histograms(pages: DataFrame) -> DataFrame:

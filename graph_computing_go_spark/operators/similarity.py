@@ -140,13 +140,17 @@ def cosine_topk_arrow(
     )
 
 
-def _lcg_plane(p, j):
-    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5) —
-    identical arithmetic in Spark and DuckDB (both 64-bit exact here)."""
-    x = (
-        F.lit(1103515245).cast("long") * (p * 64 + j).cast("long") + 12345
-    ) % 2147483648
-    return x / F.lit(2147483648.0) - 0.5
+def _lcg_matrix(n_rows: int, dim: int, stride: int, offset: int):
+    """Deterministic pseudo-random matrix in [-0.5, 0.5): row r, column j =
+    ((1103515245*(r*stride + j) + offset) mod 2^31)/2^31 - 0.5 — the same
+    arithmetic the DuckDB oracles evaluate in SQL, done once in numpy
+    (int64-exact: |products| << 2^63)."""
+    import numpy as np
+
+    r = np.arange(n_rows, dtype=np.int64)[:, None]
+    j = np.arange(dim, dtype=np.int64)
+    x = (1103515245 * (r * stride + j) + offset) % 2147483648
+    return x / 2147483648.0 - 0.5
 
 
 def hyperplane_signature(
@@ -155,22 +159,33 @@ def hyperplane_signature(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket): sign-pattern bucket over n_planes LCG hyperplanes."""
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("j", "x"),
-    )
-    p = F.explode(F.sequence(F.lit(0), F.lit(n_planes - 1))).alias("p")
-    comp = v.select("id", "j", "x", p)
-    dots = comp.groupBy("id", "p").agg(
-        F.sum(F.col("x") * _lcg_plane(F.col("p"), F.col("j"))).alias("dot")
-    )
-    return dots.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("dot") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long"))
-            .otherwise(F.lit(0))
-        ).alias("bucket")
-    )
+    """(id, bucket): sign-pattern bucket over n_planes LCG hyperplanes.
+
+    Arrow kernel: one numpy matmul per batch against the deterministic plane
+    matrix — a narrow map over the vectors.  (The previous formulation
+    posexploded every vector into n·dim·planes shuffle rows; at d=768 that is
+    ~6k shuffled rows per vector, dwarfing the data at scale.)
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        P = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if P is None or P.shape[1] != X.shape[1]:
+                P = _lcg_matrix(n_planes, X.shape[1], stride=64, offset=12345)
+            dots = X @ P.T
+            bucket = (
+                (dots > 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)
+            ).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(dtype=np.int64), "bucket": bucket}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, "id long, bucket long")
 
 
 def lsh_ann_topk(
@@ -222,16 +237,6 @@ def lsh_ann_topk(
     )
 
 
-def _lcg_centroid(k, j):
-    """Deterministic centroid component in [-0.5, 0.5) — decorrelated from
-    the LSH planes by a different stride/offset; long arithmetic for
-    engine parity (int32 products overflow silently in Spark)."""
-    x = (
-        F.lit(1103515245).cast("long") * (k * 997 + j).cast("long") + 54321
-    ) % 2147483648
-    return x / F.lit(2147483648.0) - 0.5
-
-
 def ivf_assign(
     df: DataFrame,
     n_centroids: int = 8,
@@ -241,22 +246,40 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, centroid, dot): nearest ``rank_limit`` centroids per vector by
     dot product against the deterministic LCG centroid matrix (a stand-in
-    for trained k-means centroids — swap the centroid expression for a
-    broadcast table of learned centroids without changing the plan)."""
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_as_double(F.col(vec_col))).alias("j", "x"),
-    )
-    k = F.explode(F.sequence(F.lit(0), F.lit(n_centroids - 1))).alias("k")
-    comp = v.select("id", "j", "x", k)
-    dots = comp.groupBy("id", "k").agg(
-        F.sum(F.col("x") * _lcg_centroid(F.col("k"), F.col("j"))).alias("dot")
-    )
-    w = Window.partitionBy("id").orderBy(F.desc("dot"), F.asc("k"))
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= rank_limit)
-        .select("id", F.col("k").alias("centroid"), "dot")
+    for trained k-means centroids — swap ``_lcg_matrix`` for a broadcast of
+    learned centroids without changing the plan).
+
+    Arrow kernel: batch matmul + stable per-row argsort (ties → smaller
+    centroid id, matching the oracle's ``ORDER BY dot DESC, k ASC``) — no
+    exploded (id, k, j) shuffle rows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        C = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if C is None or C.shape[1] != X.shape[1]:
+                C = _lcg_matrix(n_centroids, X.shape[1], stride=997, offset=54321)
+            dots = X @ C.T  # (n, n_centroids)
+            # stable argsort on -dot keeps ascending k among ties
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :rank_limit]
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            n, m = order.shape
+            rows = np.repeat(np.arange(n), m)
+            yield pd.DataFrame(
+                {
+                    "id": ids[rows],
+                    "centroid": order.ravel().astype(np.int64),
+                    "dot": dots[rows, order.ravel()],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, "id long, centroid long, dot double"
     )
 
 

@@ -86,9 +86,13 @@ def triangle_count(edges: DataFrame, degree_oriented: bool = False) -> DataFrame
     )
 
 
-def triangles_per_vertex(edges: DataFrame) -> DataFrame:
-    """(id, n_triangles) — triangles exploded back to their three corners."""
-    tri = triangle_list(edges)
+def triangles_per_vertex(
+    edges: DataFrame, degree_oriented: bool = False
+) -> DataFrame:
+    """(id, n_triangles) — triangles exploded back to their three corners.
+    ``degree_oriented`` switches the enumeration to the sqrt(m)-bounded
+    oriented wedge join; output is identical."""
+    tri = triangle_list(edges, degree_oriented)
     corners = (
         tri.select(F.col("a").alias("id"))
         .unionByName(tri.select(F.col("b").alias("id")))

@@ -29,8 +29,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graph_computing_go_spark.operators.graph import global_row_number
 
 
 def _minp_expr(rank_col, n_col, percents: tuple[int, ...]):
@@ -136,6 +138,7 @@ def yearly_entropy_pipeline(
 
     out: list[DataFrame] = []
     edges_y = edges
+    prev_caches: list[DataFrame] = []
     for year in sorted(years, reverse=True):
         kept_v = vertices.filter(F.col("year") <= year).select("id")
         # incremental shrink: this year's edges derive from last year's
@@ -161,16 +164,25 @@ def yearly_entropy_pipeline(
         )
         n_cand = ranked_base.count()
         for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
-            w = Window.orderBy(F.desc(cnt_col), F.asc("id"))
-            ranked = ranked_base.select(
-                "id",
-                F.row_number().over(w).alias("rank"),
-                F.lit(n_cand).alias("n_total"),
-            )
+            ranked = global_row_number(
+                ranked_base.select("id", cnt_col),
+                [F.desc(cnt_col), F.asc("id")],
+                "rank",
+            ).select("id", "rank", F.lit(n_cand).alias("n_total"))
+            # localCheckpoint materializes this universe's (tiny, one row per
+            # ladder point) stats NOW, severing lineage to the year caches —
+            # so superseded caches can be dropped and memory stays flat over
+            # an 85-year walk instead of accumulating 85 live edge tables
             out.append(
                 _universe_stats(edges_y, ranked, year, rank_type, percents)
+                .localCheckpoint()
             )
+        for c in prev_caches:
+            c.unpersist()
+        prev_caches = [edges_y, ranked_base]
 
+    for c in prev_caches:
+        c.unpersist()
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
