@@ -61,6 +61,41 @@ def read_result(spark: SparkSession, warehouse: str, table: str) -> DataFrame:
     return spark.read.parquet(os.path.join(warehouse, table))
 
 
+def merge_result(
+    df: DataFrame, warehouse: str, table: str, keys: tuple[str, ...]
+) -> str:
+    """S10 idempotent MERGE/upsert sink (wikipediaInDegree.go:62-78: the
+    synthetic-key upsert that makes re-running a result job a no-op instead
+    of duplicating rows).
+
+    Semantics: rows in ``df`` REPLACE existing rows with the same ``keys``
+    tuple; other existing rows survive.  On parquet this is read → anti-join
+    → union → atomic directory swap (write to .staging, rename over).  On a
+    real deployment the same call maps to Iceberg ``MERGE INTO t USING s ON
+    <keys> WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` — one
+    shuffle on the key either way, no full-table rewrite there because
+    Iceberg scopes the rewrite to matched files.
+    """
+    import shutil
+
+    spark = df.sparkSession
+    path = os.path.join(warehouse, table)
+    staging = path + ".staging"
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        survivors = existing.join(
+            df.select(*keys).dropDuplicates(list(keys)), list(keys), "left_anti"
+        )
+        merged = survivors.unionByName(df)
+    else:
+        merged = df
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(staging, path)
+    return path
+
+
 class TaskLedger:
     """S12 idempotent-work ledger: skip a unit if its id is recorded; record
     after success.  File-backed JSON (atomic rename per write) — swap for an

@@ -1,0 +1,60 @@
+"""S10 MERGE/upsert sink: key-scoped replace, idempotent re-runs
+(wikipediaInDegree.go:62-78 synthetic-key upsert semantics)."""
+
+from __future__ import annotations
+
+from graph_computing_go_spark.sources.io import merge_result, read_result
+
+
+def _rows(spark, warehouse, table):
+    return sorted(
+        tuple(r) for r in read_result(spark, warehouse, table).collect()
+    )
+
+
+def test_merge_upsert_and_idempotence(spark, tmp_path):
+    wh = str(tmp_path)
+    df1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, k string, v int"
+    )
+    merge_result(df1, wh, "t", keys=("id",))
+    assert _rows(spark, wh, "t") == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+    # overlapping keys replace, fresh keys insert, untouched keys survive
+    df2 = spark.createDataFrame(
+        [(2, "b", 99), (4, "d", 40)], "id int, k string, v int"
+    )
+    merge_result(df2, wh, "t", keys=("id",))
+    assert _rows(spark, wh, "t") == [
+        (1, "a", 10),
+        (2, "b", 99),
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+    # re-running the same batch is a no-op (the S10 idempotence contract)
+    merge_result(df2, wh, "t", keys=("id",))
+    assert _rows(spark, wh, "t") == [
+        (1, "a", 10),
+        (2, "b", 99),
+        (3, "c", 30),
+        (4, "d", 40),
+    ]
+
+
+def test_merge_composite_key(spark, tmp_path):
+    wh = str(tmp_path)
+    df1 = spark.createDataFrame(
+        [(2000, 10, 1.0), (2000, 20, 2.0), (2001, 10, 3.0)],
+        "year int, percent int, h double",
+    )
+    merge_result(df1, wh, "stats", keys=("year", "percent"))
+    df2 = spark.createDataFrame(
+        [(2000, 20, 5.0)], "year int, percent int, h double"
+    )
+    merge_result(df2, wh, "stats", keys=("year", "percent"))
+    assert _rows(spark, wh, "stats") == [
+        (2000, 10, 1.0),
+        (2000, 20, 5.0),
+        (2001, 10, 3.0),
+    ]
