@@ -68,13 +68,15 @@ def connected_components(
             F.col("component").alias("prev"),
         )
 
+    runner = runner or SuperstepRunner(spark)
+
     def converged(_old: DataFrame, new: DataFrame, _i: int) -> bool:
         changed = new.agg(
             F.sum((F.col("component") != F.col("prev")).cast("long")).alias("c")
         ).collect()[0]["c"]
+        runner.last_delta = float(changed or 0)  # changed-rows → metrics
         return changed == 0
 
-    runner = runner or SuperstepRunner(spark)
     state, iters = runner.run(
         "connected_components", state0, step, converged, max_iter=max_iter,
         resume=resume,

@@ -62,6 +62,8 @@ def label_propagation(
             F.col("label").alias("prev"),
         )
 
+    runner = runner or SuperstepRunner(spark)
+
     if exact_iters is not None:
         def converged(_old: DataFrame, new: DataFrame, i: int) -> bool:
             new.count()  # materialize this superstep's checkpoint
@@ -72,9 +74,9 @@ def label_propagation(
             changed = new.agg(
                 F.sum((F.col("label") != F.col("prev")).cast("long")).alias("c")
             ).collect()[0]["c"]
+            runner.last_delta = float(changed or 0)  # changed-rows → metrics
             return changed == 0
 
-    runner = runner or SuperstepRunner(spark)
     state, iters = runner.run(
         "label_propagation", state0, step, converged, max_iter=max_iter,
         resume=resume,

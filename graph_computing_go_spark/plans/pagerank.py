@@ -119,13 +119,15 @@ def pagerank(
             "prev",
         )
 
+    runner = runner or SuperstepRunner(spark)
+
     def converged(_old: DataFrame, new: DataFrame, _i: int) -> bool:
         delta = new.agg(
             F.sum(F.abs(F.col("rank") - F.col("prev"))).alias("d")
         ).collect()[0]["d"]
+        runner.last_delta = delta  # L1 delta → iteration metrics
         return delta is not None and delta < tol
 
-    runner = runner or SuperstepRunner(spark)
     state, iters = runner.run(
         "pagerank", state0, step, converged, max_iter=max_iter, resume=resume
     )

@@ -80,6 +80,14 @@ class SuperstepRunner:
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
+        #: per-superstep iteration metrics of the most recent run() —
+        #: [{iter, wall_ms, delta, checkpointed, done}, ...]; algorithms
+        #: report their convergence delta by setting ``last_delta`` inside
+        #: their converged() callback.  Persisted to metrics.jsonl next to
+        #: the checkpoints when checkpoint_dir is set (BASELINE.json:6
+        #: "iteration metrics").
+        self.metrics: list[dict] = []
+        self.last_delta: float | None = None
 
     # -- checkpoint layout ------------------------------------------------
     def _iter_dir(self, name: str, i: int) -> str:
@@ -162,9 +170,11 @@ class SuperstepRunner:
             if ckpt is not None:
                 start_iter, state = ckpt
         state = state.localCheckpoint(eager=True)
+        self.metrics = []
         i = start_iter
         for i in range(start_iter + 1, max_iter + 1):
             t0 = time.time()
+            self.last_delta = None
             # Lazy local checkpoint: the converged() aggregation is the one
             # materializing action per superstep, and the checkpoint
             # truncates lineage so iteration plans stay O(1) deep (without
@@ -173,10 +183,29 @@ class SuperstepRunner:
             new = step(state, i).localCheckpoint(eager=False)
             done = converged(state, new, i)
             state = new
-            if self.checkpoint_dir and (
+            ckpt = self.checkpoint_dir is not None and (
                 i % self.checkpoint_every == 0 or done or i == max_iter
-            ):
+            )
+            if ckpt:
                 self._write_checkpoint(name, i, state, t0)
+            self._record_metric(
+                name,
+                {
+                    "iter": i,
+                    "wall_ms": int((time.time() - t0) * 1000),
+                    "delta": self.last_delta,
+                    "checkpointed": bool(ckpt),
+                    "done": bool(done),
+                },
+            )
             if done:
                 return state, i
         return state, i
+
+    def _record_metric(self, name: str, m: dict) -> None:
+        self.metrics.append(m)
+        if self.checkpoint_dir:
+            base = os.path.join(self.checkpoint_dir, name)
+            os.makedirs(base, exist_ok=True)
+            with open(os.path.join(base, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(m) + "\n")

@@ -161,3 +161,30 @@ def test_snapshot_year_tags_planted(spark):
         (2, 2006, 21),
     ]
     assert got == expected
+
+
+def test_superstep_iteration_metrics(spark, tmp_path):
+    """BASELINE.json 'iteration metrics': one record per superstep with wall
+    time + convergence delta, persisted to metrics.jsonl alongside the
+    checkpoints."""
+    import json
+
+    from graph_computing_go_spark.plans import pagerank
+    from graph_computing_go_spark.plans.superstep import SuperstepRunner
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    runner = SuperstepRunner(spark, checkpoint_dir=str(tmp_path), checkpoint_every=2)
+    _, iters = pagerank(edges, tol=0.0, max_iter=3, runner=runner)
+    assert iters == 3
+    assert len(runner.metrics) == 3
+    for m in runner.metrics:
+        assert m["wall_ms"] >= 0
+        assert m["delta"] is not None  # pagerank reports its L1 delta
+    assert [m["checkpointed"] for m in runner.metrics] == [False, True, True]
+    lines = [
+        json.loads(ln)
+        for ln in open(tmp_path / "pagerank" / "metrics.jsonl")
+    ]
+    assert [ln["iter"] for ln in lines] == [1, 2, 3]
