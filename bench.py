@@ -53,59 +53,85 @@ def main() -> None:
     # REGRESS on the bandwidth-bound supersteps (BENCH/BASELINE.md §1)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    extra = {
+        "spark.ui.enabled": "false",
+        # JVM unified-logging warnings (GC stalls) print to stdout and
+        # would corrupt the one-JSON-line contract; silence them.
+        "spark.driver.extraJavaOptions": "-Xlog:disable",
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    }
+    # ad-hoc conf sweeps: SPARK_GRAFT_CONF="k=v,k=v" (tuning experiments
+    # recorded in BENCH/BASELINE.md)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     spark = get_spark(
         app_name=f"bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 8),
-        extra_conf={
-            "spark.ui.enabled": "false",
-            # JVM unified-logging warnings (GC stalls) print to stdout and
-            # would corrupt the one-JSON-line contract; silence them.
-            "spark.driver.extraJavaOptions": "-Xlog:disable",
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "16g"
-            ),
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPARK_GRAFT_SCALE_ONLY=1: skip the micro/ingest sections — for the
+    # N-vs-4N scaling sweeps only the synthesized scale section matters
+    scale_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "") == "1"
+
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+    n_edges = pr_iters = cc_iters = 0
+    if not scale_only:
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            times[name] = round(time.time() - t0, 3)
+
+        edges = derive_edges(spark, sf_dir).cache()
+        n_edges = edges.count()
+
         t0 = time.time()
-        fn(spark, sf_dir).collect()
-        times[name] = round(time.time() - t0, 3)
+        ranks, pr_iters = pagerank(edges, tol=1e-6, max_iter=100)
+        ranks.collect()
+        times["pagerank"] = round(time.time() - t0, 3)
 
-    edges = derive_edges(spark, sf_dir).cache()
-    n_edges = edges.count()
+        t0 = time.time()
+        comps, cc_iters = connected_components(edges)
+        comps.collect()
+        times["connected_components"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    ranks, pr_iters = pagerank(edges, tol=1e-6, max_iter=100)
-    ranks.collect()
-    times["pagerank"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    comps, cc_iters = connected_components(edges)
-    comps.collect()
-    times["connected_components"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    triangle_count(edges).collect()
-    times["triangle_count"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        triangle_count(edges).collect()
+        times["triangle_count"] = round(time.time() - t0, 3)
 
     # ---- scale section: synthesized big graph --------------------------
     big = synth_graph(spark, n_edges=60_000_000, n_vertices=3_000_000).cache()
     big_edges = big.count()
 
+    from graph_computing_go_spark.plans.superstep import SuperstepRunner
+
+    r_pr = SuperstepRunner(spark)
     t0 = time.time()
-    _, big_pr_iters = pagerank(big, tol=0.0, max_iter=5, dangling="drop")
+    _, big_pr_iters = pagerank(big, tol=0.0, max_iter=5, dangling="drop", runner=r_pr)
     big_pr_s = time.time() - t0
     times["scale_pagerank_5it"] = round(big_pr_s, 3)
 
+    r_cc = SuperstepRunner(spark)
     t0 = time.time()
-    _, big_cc_iters = connected_components(big, max_iter=30)
+    _, big_cc_iters = connected_components(big, max_iter=30, runner=r_cc)
     big_cc_s = time.time() - t0
     times["scale_connected_components"] = round(big_cc_s, 3)
+
+    # steady-state per-superstep throughput from the runner's iteration
+    # metrics, dropping each algorithm's first superstep (it materializes the
+    # links/symmetrize builds) — the fixed-cost-free scaling signal.
+    steady_ms = [m["wall_ms"] for m in r_pr.metrics[1:]] + [
+        m["wall_ms"] for m in r_cc.metrics[1:]
+    ]
+    steady_eps = (
+        round(big_edges * len(steady_ms) / (sum(steady_ms) / 1000.0), 1)
+        if steady_ms and sum(steady_ms) > 0
+        else None
+    )
 
     # ---- ingest section: repos table → sha gate → edge table ------------
     from graph_computing_go_spark.sources import (
@@ -176,6 +202,9 @@ def main() -> None:
                 "ingest_files_per_sec": round(n_files / ingest_s, 1),
                 "ingest_edges": ingest_edges,
                 "ngd_megahub_pairs": ngd_pairs,
+                "steady_superstep_eps": steady_eps,
+                "pr_superstep_ms": [m["wall_ms"] for m in r_pr.metrics],
+                "cc_superstep_ms": [m["wall_ms"] for m in r_cc.metrics],
                 "total_seconds": total,
             }
         )

@@ -43,7 +43,13 @@ def connected_components(
 ) -> tuple[DataFrame, int]:
     """Returns ((id, component) DataFrame, iterations_run)."""
     spark = edges.sparkSession
-    ud = symmetrize(edges, dedup=False).cache()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # cache PRE-PARTITIONED on the join key: every superstep's labels⋈edges
+    # join finds the cached side already hash(src)-distributed, so only the
+    # (vertex-grain) label side and the gather shuffle move per superstep —
+    # measured 1.8× faster supersteps on the 120M-row symmetrized bench
+    # graph vs a plainly-cached table (PERF.md §6)
+    ud = symmetrize(edges, dedup=False).repartition(n_part, "src").cache()
     ud.count()
     verts = vertices_of(edges).cache()
 

@@ -36,7 +36,10 @@ def label_propagation(
 ) -> tuple[DataFrame, int]:
     """Returns ((id, label) DataFrame, iterations_run)."""
     spark = edges.sparkSession
-    ud = symmetrize(edges).cache()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # distinct() leaves hash(src,dst) partitioning — re-key to hash(src) so
+    # the per-superstep join reuses the cached layout (see components.py)
+    ud = symmetrize(edges).repartition(n_part, "src").cache()
     ud.count()
     verts = vertices_of(edges).cache()
     state0 = verts.select(

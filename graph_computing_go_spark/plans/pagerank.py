@@ -68,7 +68,13 @@ def pagerank(
     verts = vertices_of(edges).cache()
     n = verts.count()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    links = edges.join(out_deg, "src").cache()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # pin the cache to hash(src): when AQE broadcasts out_deg the join output
+    # keeps the scan's arbitrary partitioning, and every superstep's
+    # ranks⋈links join would re-exchange the full edge table; an explicit
+    # one-time repartition makes the per-superstep join co-located at any
+    # scale (PERF.md §6)
+    links = edges.join(out_deg, "src").repartition(n_part, "src").cache()
     links.count()  # materialize once; reused every superstep
 
     dangling_ids = None

@@ -5,7 +5,6 @@ checked against an independent pure-python computation."""
 from __future__ import annotations
 
 import math
-from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
@@ -144,10 +143,6 @@ def test_snapshot_year_tags_planted(spark):
         F.explode(F.sequence("yr", "tag_end")).alias("year"),
     )
     got = sorted((r["page_id"], r["year"], r["rev_id"]) for r in tagged.collect())
-    # page 2, year 2004: rev 20 is 1 day before year end (86400s + 0s);
-    # rev 21 is in year 2005.  2005's year-end diff for rev 21 is 364 days —
-    # snapshot per year, so no cross-year tie actually forms; instead plant
-    # the tie check: rev 20 diff = 0*? -> verify exact expected set
     expected = [
         (1, 2000, 12),
         (1, 2001, 12),
