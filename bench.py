@@ -49,9 +49,9 @@ BENCH_QUERIES = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # default 16: the measured throughput optimum on this host — 32 threads
-    # REGRESS on the bandwidth-bound supersteps (BENCH/BASELINE.md §1)
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    # default 32: with co-located superstep joins the throughput is monotone
+    # in thread count on this host (BENCH/BASELINE.md §1, round 2)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     extra = {
         "spark.ui.enabled": "false",
@@ -175,7 +175,7 @@ def main() -> None:
     ).unionByName(hub_edges)
     core = spark.range(core_n).select(F.col("id").alias("id"))
     ngd_pairs = google_distance(
-        ngd_edges, core, n_vert_ngd, chunk=256
+        ngd_edges, core, n_vert_ngd, chunk=256, core_count=core_n
     ).count()
     times["scale_ngd_megahub"] = round(time.time() - t0, 3)
 

@@ -331,14 +331,16 @@ def q_google_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 (wikipediaGoogleDistance.go:91-136), core = top-50 by in-degree."""
     edges = derive_edges(spark, sf_dir).cache()
     ranked = rank_by_in_degree(edges)
-    core = ranked.filter(F.col("rank") <= 50).select("id")
+    # ≤50 rows by construction; cache so the final NGD job reuses it instead
+    # of re-deriving the whole ranking lineage inside its semi-join
+    core = ranked.filter(F.col("rank") <= 50).select("id").cache()
     n = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
         .count()
     )
-    df = google_distance(edges, core, n)
+    df = google_distance(edges, core, n, core_count=50)
     return df.select(
         "a", "b", "inter", F.col("deg_a").cast("long").alias("deg_a"),
         F.col("deg_b").cast("long").alias("deg_b"),

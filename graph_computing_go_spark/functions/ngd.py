@@ -40,6 +40,7 @@ def google_distance(
     core_vertices: DataFrame,
     total_count: int,
     chunk: int = 1024,
+    core_count: int | None = None,
 ) -> DataFrame:
     """(a, b, inter, deg_a, deg_b, distance) for core pairs with overlap.
 
@@ -62,40 +63,56 @@ def google_distance(
     )
     indeg = inedges.groupBy("dst").agg(F.count("*").alias("deg"))
 
-    # per-src fanout k → bucket count m = ceil(k/chunk) (1 for non-hubs)
-    fan = inedges.groupBy("src").agg(
-        F.ceil(F.count("*") / F.lit(chunk)).cast("int").alias("m")
-    )
-    e = inedges.join(fan, "src").withColumn(
-        "bkt", F.pmod(F.xxhash64("dst"), F.col("m")).cast("int")
-    )
-    grid = e.withColumn(
-        "x", F.explode(F.sequence(F.lit(0), F.col("m") - 1))
-    ).select(
-        "src",
-        F.least("bkt", "x").alias("gi"),
-        F.greatest("bkt", "x").alias("gj"),
-        "bkt",
-        "dst",
-    )
-    l = grid.select(
-        "src", "gi", "gj", F.col("bkt").alias("ba"), F.col("dst").alias("a")
-    )
-    r = grid.select(
-        "src", "gi", "gj", F.col("bkt").alias("bb"), F.col("dst").alias("b")
-    )
-    pairs = (
-        l.join(r, ["src", "gi", "gj"])
-        .filter(
-            (F.col("a") < F.col("b"))
-            # a pair counts only in the ONE group equal to its own bucket
-            # pair — otherwise same-bucket pairs would surface in m groups
-            & (F.col("gi") == F.least("ba", "bb"))
-            & (F.col("gj") == F.greatest("ba", "bb"))
+    # per-src fanout k is bounded by |core|; when the whole core fits one
+    # chunk NO src can exceed it → the grid degenerates to m=1 everywhere,
+    # so skip its fan-count aggregation + join + replication stages entirely.
+    # Callers that know their core bound pass ``core_count`` (counting here
+    # would re-execute the caller's whole core-derivation lineage).
+    n_core = core_count if core_count is not None else core.count()
+    if n_core <= chunk:
+        l = inedges.select("src", F.col("dst").alias("a"))
+        r = inedges.select("src", F.col("dst").alias("b"))
+        pairs = (
+            l.join(r, "src")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
         )
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    else:
+        # per-src fanout k → bucket count m = ceil(k/chunk) (1 for non-hubs)
+        fan = inedges.groupBy("src").agg(
+            F.ceil(F.count("*") / F.lit(chunk)).cast("int").alias("m")
+        )
+        e = inedges.join(fan, "src").withColumn(
+            "bkt", F.pmod(F.xxhash64("dst"), F.col("m")).cast("int")
+        )
+        grid = e.withColumn(
+            "x", F.explode(F.sequence(F.lit(0), F.col("m") - 1))
+        ).select(
+            "src",
+            F.least("bkt", "x").alias("gi"),
+            F.greatest("bkt", "x").alias("gj"),
+            "bkt",
+            "dst",
+        )
+        l = grid.select(
+            "src", "gi", "gj", F.col("bkt").alias("ba"), F.col("dst").alias("a")
+        )
+        r = grid.select(
+            "src", "gi", "gj", F.col("bkt").alias("bb"), F.col("dst").alias("b")
+        )
+        pairs = (
+            l.join(r, ["src", "gi", "gj"])
+            .filter(
+                (F.col("a") < F.col("b"))
+                # a pair counts only in the ONE group equal to its own bucket
+                # pair — otherwise same-bucket pairs surface in m groups
+                & (F.col("gi") == F.least("ba", "bb"))
+                & (F.col("gj") == F.greatest("ba", "bb"))
+            )
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         pairs.join(indeg.select(F.col("dst").alias("a"), F.col("deg").alias("deg_a")), "a")
         .join(indeg.select(F.col("dst").alias("b"), F.col("deg").alias("deg_b")), "b")

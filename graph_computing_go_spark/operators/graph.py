@@ -125,6 +125,19 @@ def global_row_number(
     # monotonically_increasing_id over the partition-sorted rows encodes
     # (partition id << 33) | local ordinal — local ranks with NO second
     # full-data exchange and no per-partition window.
+    if num_partitions == 1:
+        # degenerate case (caller measured a small input): one range
+        # partition needs no offset machinery — ordinal + 1 IS the rank
+        return (
+            df.repartitionByRange(1, *order_cols)
+            .sortWithinPartitions(*order_cols)
+            .withColumn(
+                rank_col,
+                F.monotonically_increasing_id()
+                .bitwiseAND(F.lit((1 << 33) - 1))
+                + 1,
+            )
+        )
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -159,8 +172,29 @@ def rank_by_in_degree(edges: DataFrame) -> DataFrame:
     """
     indeg = current_in_degree(edges)
     total = indeg.count()
-    ranked = global_row_number(indeg, [F.desc("cnt"), F.asc("id")], "rank")
+    ranked = global_row_number(
+        indeg,
+        [F.desc("cnt"), F.asc("id")],
+        "rank",
+        num_partitions=rank_partitions_for(edges.sparkSession, total),
+    )
     return ranked.select("id", "cnt", "rank", F.lit(total).alias("n_total"))
+
+
+#: target rows per range partition in global rankings — small enough to
+#: sort in-memory per task, large enough that tiny vertex tables don't pay
+#: a 2×cores-stage fixed cost
+RANK_ROWS_PER_PARTITION = 1_000_000
+
+
+def rank_partitions_for(spark, n_rows: int) -> int:
+    """Partition count for a global ranking over a table whose cardinality
+    the caller already measured: capped by the session's shuffle partitions,
+    floored at 1, ~RANK_ROWS_PER_PARTITION rows each."""
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    import math
+
+    return max(1, min(default, math.ceil(n_rows / RANK_ROWS_PER_PARTITION)))
 
 
 def top_percent(ranked: DataFrame, percent: int) -> DataFrame:

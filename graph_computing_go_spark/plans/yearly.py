@@ -32,7 +32,10 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_computing_go_spark.operators.graph import global_row_number
+from graph_computing_go_spark.operators.graph import (
+    global_row_number,
+    rank_partitions_for,
+)
 
 
 def _minp_expr(rank_col, n_col, percents: tuple[int, ...]):
@@ -168,6 +171,9 @@ def yearly_entropy_pipeline(
                 ranked_base.select("id", cnt_col),
                 [F.desc(cnt_col), F.asc("id")],
                 "rank",
+                num_partitions=rank_partitions_for(
+                    ranked_base.sparkSession, n_cand
+                ),
             ).select("id", "rank", F.lit(n_cand).alias("n_total"))
             # localCheckpoint materializes this universe's (tiny, one row per
             # ladder point) stats NOW, severing lineage to the year caches —

@@ -96,6 +96,34 @@ def merge_result(
     return path
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (hash-clustered + sorted) on ``bucket_col``
+    — the storage-level co-location tool for repeated large⋈large joins:
+    two tables bucketed on the same key with the same bucket count join
+    with NO exchange on either side (verified in tests/test_bucketed.py by
+    plan inspection).  The in-session analogue is the `repartition(n, key)`
+    edge caches in plans/ (PERF.md §6); bucketing is the cross-session,
+    cross-job version — at 100 TB the edge table is written once, bucketed
+    by src, and every downstream join/groupBy on src skips its shuffle.
+
+    Uses saveAsTable (bucket metadata lives in the catalog; plain
+    .parquet(path) cannot record it).  Iceberg swap-in: the same call shape
+    with a partitioned/sorted table spec."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 class TaskLedger:
     """S12 idempotent-work ledger: skip a unit if its id is recorded; record
     after success.  File-backed JSON (atomic rename per write) — swap for an
