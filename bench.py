@@ -73,8 +73,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # SPARK_GRAFT_SCALE_ONLY=1: skip the micro/ingest sections — for the
-    # N-vs-4N scaling sweeps only the synthesized scale section matters
+    # SPARK_GRAFT_SCALE_ONLY=1: skip the sf-dir micro-query section (the
+    # synthesized scale, ingest, and NGD sections still run) — for scaling
+    # sweeps the session stays free of micro-query cache/GC history
     scale_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "") == "1"
 
     times: dict[str, float] = {}

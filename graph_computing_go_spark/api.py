@@ -1082,11 +1082,13 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     repos = synthesize_repos(spark, n_files=300, seed=42)
     # per-row invariant as a REAL round-trip check (source vs re-read copy).
-    # Stable path under .tmp/ (gitignored), overwritten per run — a fresh
-    # mkdtemp per invocation leaked one parquet dir per driver verify run.
+    # Path under .tmp/ (gitignored) keyed by the Spark applicationId:
+    # reused (not leaked) within a session, private across concurrent
+    # drivers (a fixed path races when compare.py and pytest overlap).
     td = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
-    repos.write.mode("overwrite").parquet(f"{td}/code_repos_roundtrip")
-    ingested = spark.read.parquet(f"{td}/code_repos_roundtrip")
+    rt = f"{td}/code_repos_roundtrip_{spark.sparkContext.applicationId}"
+    repos.write.mode("overwrite").parquet(rt)
+    ingested = spark.read.parquet(rt)
     verify_content_sha256(repos, ingested)
     return build_edge_table(ingested).select(
         "src_repo", "src_path", "dst_repo", "dst_path"

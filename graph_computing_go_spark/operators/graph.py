@@ -122,9 +122,9 @@ def global_row_number(
         )
     # explicit numPartitions: AQE never re-coalesces a user-specified
     # repartition, so the pid ↔ range mapping is stable within the query.
-    # monotonically_increasing_id over the partition-sorted rows encodes
-    # (partition id << 33) | local ordinal — local ranks with NO second
-    # full-data exchange and no per-partition window.
+    # monotonically_increasing_id's low 33 bits are the in-partition ordinal
+    # of the partition-sorted rows — local ranks with NO second full-data
+    # exchange and no per-partition window.
     if num_partitions == 1:
         # degenerate case (caller measured a small input): one range
         # partition needs no offset machinery — ordinal + 1 IS the rank
@@ -138,13 +138,18 @@ def global_row_number(
                 + 1,
             )
         )
+    # __pid from spark_partition_id (robust at any size); __local from the
+    # low 33 bits of monotonically_increasing_id — valid while no single
+    # range partition exceeds 2^33 (~8.6e9) rows.  Callers that measured
+    # their cardinality get that bound enforced by rank_partitions_for; at
+    # the 10^12 grain pass num_partitions >= n / 2^33 explicitly.
     part = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.expr("shiftright(__mid, 33)").cast("int"))
+        .withColumn("__pid", F.spark_partition_id())
         .withColumn(
-            "__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+            "__local",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
         )
     )
     counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
@@ -157,7 +162,7 @@ def global_row_number(
     return (
         part.join(F.broadcast(offsets), "__pid")
         .withColumn(rank_col, F.col("__local") + 1 + F.col("__off"))
-        .drop("__pid", "__off", "__mid", "__local")
+        .drop("__pid", "__off", "__local")
     )
 
 
@@ -190,11 +195,15 @@ RANK_ROWS_PER_PARTITION = 1_000_000
 def rank_partitions_for(spark, n_rows: int) -> int:
     """Partition count for a global ranking over a table whose cardinality
     the caller already measured: capped by the session's shuffle partitions,
-    floored at 1, ~RANK_ROWS_PER_PARTITION rows each."""
-    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    floored at 1, ~RANK_ROWS_PER_PARTITION rows each — but never so few
+    that a partition could exceed the 2^33-row local-ordinal bound of
+    global_row_number."""
     import math
 
-    return max(1, min(default, math.ceil(n_rows / RANK_ROWS_PER_PARTITION)))
+    default = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    want = max(1, min(default, math.ceil(n_rows / RANK_ROWS_PER_PARTITION)))
+    floor_for_ordinals = math.ceil(n_rows / (1 << 33)) or 1
+    return max(want, floor_for_ordinals)
 
 
 def top_percent(ranked: DataFrame, percent: int) -> DataFrame:

@@ -45,6 +45,12 @@ def subject_entropy_lifecycle(
     ``vertices``: (id, year, subjects array<string>) — vertices with empty
     subject lists never join a circle; ``edges``: (src, dst).
     """
+    if not years:
+        schema = (
+            "year int, subject string, n_vertices long, n_edges long, "
+            "dd_h_in double, se_h_in double, n_in long"
+        )
+        return vertices.sparkSession.createDataFrame([], schema)
     out: list[DataFrame] = []
     for y in sorted(years, reverse=True):
         mem = vertices.filter(F.col("year") <= y).select(

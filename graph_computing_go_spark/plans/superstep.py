@@ -171,6 +171,12 @@ class SuperstepRunner:
                 start_iter, state = ckpt
         state = state.localCheckpoint(eager=True)
         self.metrics = []
+        if self.checkpoint_dir and start_iter == 0:
+            # fresh (non-resumed) run: truncate the metrics ledger so the
+            # append-per-iteration file never accumulates duplicate iters
+            mpath = os.path.join(self.checkpoint_dir, name, "metrics.jsonl")
+            if os.path.exists(mpath):
+                os.remove(mpath)
         i = start_iter
         for i in range(start_iter + 1, max_iter + 1):
             t0 = time.time()

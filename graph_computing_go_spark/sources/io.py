@@ -81,6 +81,13 @@ def merge_result(
     spark = df.sparkSession
     path = os.path.join(warehouse, table)
     staging = path + ".staging"
+    retired = path + ".old"
+    # crash recovery: a previous merge that died between retiring the live
+    # dir and promoting its staging dir leaves only '.old' — restore it so
+    # prior rows are never silently dropped
+    if not os.path.exists(path) and os.path.exists(retired):
+        os.replace(retired, path)
+    shutil.rmtree(retired, ignore_errors=True)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         survivors = existing.join(
@@ -90,9 +97,12 @@ def merge_result(
     else:
         merged = df
     merged.write.mode("overwrite").parquet(staging)
+    # two renames instead of rmtree-then-rename: every crash window leaves
+    # either the old table at `path`/'.old' or the new one at `path`
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, retired)
     os.replace(staging, path)
+    shutil.rmtree(retired, ignore_errors=True)
     return path
 
 

@@ -58,3 +58,20 @@ def test_merge_composite_key(spark, tmp_path):
         (2000, 20, 5.0),
         (2001, 10, 3.0),
     ]
+
+
+def test_merge_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash between retiring the live dir and promoting staging leaves
+    only '<table>.old'; the next merge must restore it, not drop rows."""
+    import os
+
+    wh = str(tmp_path)
+    df1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, v int")
+    merge_result(df1, wh, "t", keys=("id",))
+    path = os.path.join(wh, "t")
+    os.replace(path, path + ".old")  # simulate the crash window
+
+    df2 = spark.createDataFrame([(2, 99)], "id int, v int")
+    merge_result(df2, wh, "t", keys=("id",))
+    assert _rows(spark, wh, "t") == [(1, 10), (2, 99)]
+    assert not os.path.exists(path + ".old")

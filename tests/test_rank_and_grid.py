@@ -105,8 +105,12 @@ def test_snapshot_year_tags_planted(spark):
         # page 1, year 2003: single revision; years 2001-2002 gap-fill onto
         # the 2000 snapshot, 2004..END onto the 2003 snapshot
         (1, 13, "2003-01-15T00:00:00Z"),
-        # page 2: equidistant from year end (+/- 1 day) → earlier ts wins
-        (2, 20, "2004-12-30T23:59:59Z"),
+        # page 2: all revisions precede their year's end, so a true
+        # equal-diff tie requires IDENTICAL timestamps — the rev_id
+        # tiebreak (determinizing the reference's unstable sort) must pick
+        # the smaller rev_id (22 over 23)
+        (2, 23, "2004-12-30T23:59:59Z"),
+        (2, 22, "2004-12-30T23:59:59Z"),
         (2, 21, "2005-01-01T23:59:59Z"),
     ]
     end_year = 2006
@@ -151,7 +155,7 @@ def test_snapshot_year_tags_planted(spark):
         (1, 2004, 13),
         (1, 2005, 13),
         (1, 2006, 13),
-        (2, 2004, 20),
+        (2, 2004, 22),
         (2, 2005, 21),
         (2, 2006, 21),
     ]
