@@ -25,12 +25,26 @@ TABLES = (
 
 
 def canon(rows, cols):
+    """Mimics the DRIVER's canonicalizer: a pandas sort_values over all
+    columns (which, like the driver's, raises TypeError on unhashable cells
+    such as lists — round 1's only red row was exactly that, and the old
+    repr-based canon here masked it), then per-cell repr with floats
+    rounded to 6."""
+    import pandas as pd
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    df = pd.DataFrame(
+        [[r[i] for i in order] for r in rows],
+        columns=[cols[i] for i in order],
+    )
+    if len(df):
+        # the driver sorts rows via pandas — list/dict cells die HERE, as
+        # they do in the real harness
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     out = []
-    for r in rows:
+    for row in df.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in row:
             if isinstance(v, float):
                 v = round(v, 6)
                 if v == -0.0:
