@@ -1087,6 +1087,15 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drivers (a fixed path races when compare.py and pytest overlap).
     td = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
     rt = f"{td}/code_repos_roundtrip_{spark.sparkContext.applicationId}"
+    # prune siblings from finished applications (mtime > 6h keeps any
+    # genuinely concurrent driver safe) so per-app dirs don't accumulate
+    import glob
+    import shutil
+    import time
+
+    for old in glob.glob(f"{td}/code_repos_roundtrip_*"):
+        if old != rt and time.time() - os.path.getmtime(old) > 6 * 3600:
+            shutil.rmtree(old, ignore_errors=True)
     repos.write.mode("overwrite").parquet(rt)
     ingested = spark.read.parquet(rt)
     verify_content_sha256(repos, ingested)

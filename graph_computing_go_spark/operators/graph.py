@@ -155,9 +155,25 @@ def global_row_number(
     counts = part.groupBy("__pid").agg(F.count("*").alias("__c"))
     # the only serial window: |shuffle partitions| rows, bounded at any scale
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # the guard is FOLDED INTO __off (assert_true yields NULL on success,
+    # coalesce adds 0) so column pruning cannot eliminate it: range-
+    # partition SKEW — not just average size — could push one partition
+    # past 2^33 rows and silently wrap the ordinals; fail loudly instead
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("__c") < F.lit(1 << 33),
+            F.lit(
+                "global_row_number: a range partition exceeds 2^33 rows — "
+                "raise num_partitions"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
     offsets = counts.select(
         "__pid",
-        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        (F.coalesce(F.sum("__c").over(w_off), F.lit(0)).cast("long") + guard).alias(
+            "__off"
+        ),
     )
     return (
         part.join(F.broadcast(offsets), "__pid")

@@ -171,12 +171,22 @@ class SuperstepRunner:
                 start_iter, state = ckpt
         state = state.localCheckpoint(eager=True)
         self.metrics = []
-        if self.checkpoint_dir and start_iter == 0:
-            # fresh (non-resumed) run: truncate the metrics ledger so the
-            # append-per-iteration file never accumulates duplicate iters
+        if self.checkpoint_dir:
+            # keep only records up to the iteration we (re)start from: a
+            # fresh run truncates everything, a resume drops the records of
+            # iterations that will be replayed — the ledger never holds
+            # duplicate iters either way
             mpath = os.path.join(self.checkpoint_dir, name, "metrics.jsonl")
             if os.path.exists(mpath):
-                os.remove(mpath)
+                with open(mpath) as f:
+                    keep = [
+                        ln
+                        for ln in f
+                        if ln.strip()
+                        and json.loads(ln).get("iter", 0) <= start_iter
+                    ]
+                with open(mpath, "w") as f:
+                    f.writelines(keep)
         i = start_iter
         for i in range(start_iter + 1, max_iter + 1):
             t0 = time.time()

@@ -39,8 +39,10 @@ def canon(rows, cols):
     )
     if len(df):
         # the driver sorts rows via pandas — list/dict cells die HERE, as
-        # they do in the real harness
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
+        # they do in the real harness.  (The resulting ORDER is irrelevant —
+        # the return value is re-sorted by repr below; the sort exists as
+        # the unhashable-cell tripwire.)
+        df = df.sort_values(by=list(df.columns))
     out = []
     for row in df.itertuples(index=False):
         vals = []
@@ -101,8 +103,12 @@ def main():
         if sorted(scols) != sorted(c.lower() for c in ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if not problems:
-            cs, co = canon(srows, scols), canon(orows, [c.lower() for c in ocols])
-            if cs != co:
+            try:
+                cs, co = canon(srows, scols), canon(orows, [c.lower() for c in ocols])
+            except Exception as e:  # noqa: BLE001 — e.g. unhashable cells
+                cs = co = None
+                problems.append(f"canonicalization error (driver would die): {e}")
+            if cs is not None and cs != co:
                 diffs = [(a, b) for a, b in zip(cs, co) if a != b][:3]
                 problems.append(f"values differ, e.g. {diffs}")
         if problems:
