@@ -147,11 +147,16 @@ def cmd_distance_complexity(args):
 
 def cmd_in_degree(args):
     from graph_computing_go_spark.operators.graph import current_in_degree
-    from graph_computing_go_spark.sources.io import write_result
+    from graph_computing_go_spark.sources.io import merge_result, write_result
 
     spark = _spark(args)
     res = current_in_degree(_edges(spark, args.edges)).cache()
-    write_result(res, args.output, "in_degree")
+    if getattr(args, "merge", False):
+        # S10 upsert semantics (wikipediaInDegree.go:62-78): re-running the
+        # job replaces rows by vertex id instead of duplicating them
+        merge_result(res, args.output, "in_degree", keys=("id",))
+    else:
+        write_result(res, args.output, "in_degree")
     _emit(cmd=args.cmd, rows=res.count())
 
 
@@ -279,6 +284,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     sp = sub.add_parser("in-degree")
     common(sp)
+    sp.add_argument(
+        "--merge",
+        action="store_true",
+        help="upsert by vertex id (idempotent re-runs) instead of append",
+    )
     sp.set_defaults(fn=cmd_in_degree)
 
     for name, fn in (

@@ -122,3 +122,19 @@ def test_spark_submit_py_files(graph_dirs, tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert json.loads(lines[-1])["rows"] == 6
+
+
+def test_cli_in_degree_merge_idempotent(spark, graph_dirs, capsys):
+    """S10 via the CLI: --merge re-runs replace by vertex id (no dupes);
+    plain append duplicates (the r1-documented limitation --merge fixes)."""
+    base, epath, _ = graph_dirs
+    out = str(base / "wh_merge")
+    for _ in range(2):
+        res = _run_inproc(
+            capsys,
+            ["in-degree", "--edges", epath, "--output", out, "--merge"],
+        )
+    assert res["rows"] == 6  # distinct dsts: 1,2,3,4,5,7
+    merged = spark.read.parquet(os.path.join(out, "in_degree"))
+    rows = sorted(tuple(r) for r in merged.collect())
+    assert len(rows) == len({r[0] for r in rows})  # one row per vertex

@@ -187,3 +187,40 @@ def test_superstep_iteration_metrics(spark, tmp_path):
         for ln in open(tmp_path / "pagerank" / "metrics.jsonl")
     ]
     assert [ln["iter"] for ln in lines] == [1, 2, 3]
+
+
+def test_global_row_number_property(spark):
+    """Randomized cross-check vs python sorting: duplicates on the primary
+    key, negative values, and partition counts exceeding the row count."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+        ),
+        n_part=st.integers(min_value=1, max_value=12),
+    )
+    def prop(vals, n_part):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r["id"]: r["rank"]
+            for r in global_row_number(
+                df, [F.desc("v"), F.asc("id")], "rank", num_partitions=n_part
+            ).collect()
+        }
+        exp = {
+            id_: rank
+            for rank, (id_, _) in enumerate(
+                sorted(rows, key=lambda t: (-t[1], t[0])), start=1
+            )
+        }
+        assert got == exp
+
+    prop()
