@@ -1085,16 +1085,23 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Path under .tmp/ (gitignored) keyed by the Spark applicationId:
     # reused (not leaked) within a session, private across concurrent
     # drivers (a fixed path races when compare.py and pytest overlap).
-    td = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    td = os.path.join(pkg_parent, ".tmp")
+    if not os.access(pkg_parent, os.W_OK):
+        # read-only install (site-packages): fall back to the system tmp dir
+        import tempfile
+
+        td = os.path.join(tempfile.gettempdir(), "gcgs_tmp")
     rt = f"{td}/code_repos_roundtrip_{spark.sparkContext.applicationId}"
-    # prune siblings from finished applications (mtime > 6h keeps any
-    # genuinely concurrent driver safe) so per-app dirs don't accumulate
+    # prune siblings from finished applications (mtime > 24h keeps any
+    # genuinely concurrent driver safe — driver runs are minutes, not a day)
+    # so per-app dirs don't accumulate
     import glob
     import shutil
     import time
 
     for old in glob.glob(f"{td}/code_repos_roundtrip_*"):
-        if old != rt and time.time() - os.path.getmtime(old) > 6 * 3600:
+        if old != rt and time.time() - os.path.getmtime(old) > 24 * 3600:
             shutil.rmtree(old, ignore_errors=True)
     repos.write.mode("overwrite").parquet(rt)
     ingested = spark.read.parquet(rt)

@@ -38,8 +38,10 @@ grouped by (module, node) then (module).  No driver-side iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graph_computing_go_spark.operators.graph import global_row_number
 
 
 def _canonical(wedges: DataFrame) -> DataFrame:
@@ -67,16 +69,20 @@ def _with_copies(wedges: DataFrame, categories: DataFrame):
     )
 
     multi = categories.filter(F.size("cats") > 1)
+    # fresh ids via the range-partitioned global rank — same (id, pos) asc
+    # ordering as the old single-partition global window (goldens are
+    # bit-identical), but scale-safe when most nodes carry 2+ categories
     copies = (
-        multi.select("id", F.posexplode("cats").alias("pos", "cat"))
-        .filter(F.col("pos") >= 1)
-        .crossJoin(F.broadcast(max_df))
-        .withColumn(
-            "copy_id",
-            F.col("__max_id")
-            + F.row_number().over(Window.orderBy("id", "pos")).cast("long"),
+        global_row_number(
+            multi.select("id", F.posexplode("cats").alias("pos", "cat")).filter(
+                F.col("pos") >= 1
+            ),
+            [F.asc("id"), F.asc("pos")],
+            "__rn",
         )
-        .drop("__max_id")
+        .crossJoin(F.broadcast(max_df))
+        .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
+        .drop("__max_id", "__rn")
     )
     node_cat = categories.select(
         "id", F.element_at("cats", 1).alias("cat")

@@ -23,8 +23,10 @@ Faithful DataFrame re-expression of
 Golden parity: entropy_test.go:18 (1.504751568) and :30-31
 (1.612197223 / 2.636056086), both +-1e-9 — see tests/test_goldens_entropy.py.
 
-Scale notes: copies are produced with one narrow posexplode + a window rank
-over the (tiny) multi-category subset; edge expansion is two broadcast-able
+Scale notes: copies are produced with one narrow posexplode + a
+range-partitioned global rank (``operators/graph.global_row_number``) over
+the multi-category subset — no single-partition window even when most
+vertices carry 2+ categories; edge expansion is two broadcast-able
 joins against the copy map (crossing vertices are rare in real taxonomies);
 the per-module entropies are ONE groupBy(cat, dst) + ONE groupBy(cat) — no
 per-module jobs, no driver loop over modules (the reference spawns a
@@ -33,8 +35,10 @@ goroutine per module; Catalyst gets the same parallelism from the shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from graph_computing_go_spark.operators.graph import global_row_number
 
 
 def _expanded_graph(vertices: DataFrame, edges: DataFrame):
@@ -45,16 +49,21 @@ def _expanded_graph(vertices: DataFrame, edges: DataFrame):
 
     base = vertices.select("id", F.element_at("cats", 1).alias("cat"))
     multi = vertices.filter(F.size("cats") > 1)
+    # fresh ids via the range-partitioned global rank (same (id, pos) asc
+    # ordering the old global window gave, so assigned ids — and therefore
+    # goldens — are bit-identical), never a single-partition window: a
+    # taxonomy where most vertices carry 2+ categories makes this data-sized
     copies = (
-        multi.select("id", F.posexplode("cats").alias("pos", "cat"))
-        .filter(F.col("pos") >= 1)
-        .crossJoin(F.broadcast(max_df))
-        .withColumn(
-            "copy_id",
-            F.col("__max_id")
-            + F.row_number().over(Window.orderBy("id", "pos")).cast("long"),
+        global_row_number(
+            multi.select("id", F.posexplode("cats").alias("pos", "cat")).filter(
+                F.col("pos") >= 1
+            ),
+            [F.asc("id"), F.asc("pos")],
+            "__rn",
         )
-        .drop("__max_id")
+        .crossJoin(F.broadcast(max_df))
+        .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
+        .drop("__max_id", "__rn")
     )
     copy_map = copies.select(F.col("id").alias("orig"), "copy_id")
     nodes = base.unionByName(

@@ -127,17 +127,29 @@ def global_row_number(
     # exchange and no per-partition window.
     if num_partitions == 1:
         # degenerate case (caller measured a small input): one range
-        # partition needs no offset machinery — ordinal + 1 IS the rank
-        return (
+        # partition needs no offset machinery — ordinal + 1 IS the rank.
+        # Same loud 2^33 guard as the multi-partition path (pid is 0 here,
+        # so the raw monotonic id IS the ordinal): a caller that wrongly
+        # passes num_partitions=1 over >2^33 rows must fail, not wrap.
+        out = (
             df.repartitionByRange(1, *order_cols)
             .sortWithinPartitions(*order_cols)
-            .withColumn(
-                rank_col,
-                F.monotonically_increasing_id()
-                .bitwiseAND(F.lit((1 << 33) - 1))
-                + 1,
-            )
+            .withColumn("__mid", F.monotonically_increasing_id())
         )
+        guard = F.coalesce(
+            F.assert_true(
+                F.col("__mid") < F.lit(1 << 33),
+                F.lit(
+                    "global_row_number: a range partition exceeds 2^33 rows — "
+                    "raise num_partitions"
+                ),
+            ).cast("long"),
+            F.lit(0),
+        )
+        return out.withColumn(
+            rank_col,
+            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1 + guard,
+        ).drop("__mid")
     # __pid from spark_partition_id (robust at any size); __local from the
     # low 33 bits of monotonically_increasing_id — valid while no single
     # range partition exceeds 2^33 (~8.6e9) rows.  Callers that measured

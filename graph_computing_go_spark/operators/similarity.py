@@ -95,6 +95,9 @@ def cosine_topk_arrow(
 
     Partial top-k per partition (heap-free: argpartition) then a global
     window over k·n_partitions rows — the shuffle carries only candidates.
+
+    Requires INTEGER ids (the pruning lexsort and the broadcast query-id
+    array are int64); use ``dense_string_ids`` first for string keys.
     """
     import numpy as np
     import pandas as pd
@@ -165,9 +168,14 @@ def hyperplane_signature(
     matrix — a narrow map over the vectors.  (The previous formulation
     posexploded every vector into n·dim·planes shuffle rows; at d=768 that is
     ~6k shuffled rows per vector, dwarfing the data at scale.)
+
+    The id column passes through untouched (output schema derives from the
+    input field), so string/decimal ids work the same as integers.
     """
     import numpy as np
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         P = None
@@ -181,11 +189,11 @@ def hyperplane_signature(
             bucket = (
                 (dots > 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)
             ).sum(axis=1)
-            yield pd.DataFrame(
-                {"id": pdf[id_col].to_numpy(dtype=np.int64), "bucket": bucket}
-            )
+            yield pd.DataFrame({"id": pdf[id_col], "bucket": bucket})
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, "id long, bucket long")
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"id {id_type}, bucket long"
+    )
 
 
 def lsh_ann_topk(
@@ -251,10 +259,13 @@ def ivf_assign(
 
     Arrow kernel: batch matmul + stable per-row argsort (ties → smaller
     centroid id, matching the oracle's ``ORDER BY dot DESC, k ASC``) — no
-    exploded (id, k, j) shuffle rows.
+    exploded (id, k, j) shuffle rows.  The id column passes through untouched
+    (output schema derives from the input field), so non-integer ids work.
     """
     import numpy as np
     import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def kernel(batches):
         C = None
@@ -267,19 +278,18 @@ def ivf_assign(
             dots = X @ C.T  # (n, n_centroids)
             # stable argsort on -dot keeps ascending k among ties
             order = np.argsort(-dots, axis=1, kind="stable")[:, :rank_limit]
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
             n, m = order.shape
             rows = np.repeat(np.arange(n), m)
             yield pd.DataFrame(
                 {
-                    "id": ids[rows],
+                    "id": pdf[id_col].to_numpy()[rows],
                     "centroid": order.ravel().astype(np.int64),
                     "dot": dots[rows, order.ravel()],
                 }
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        kernel, "id long, centroid long, dot double"
+        kernel, f"id {id_type}, centroid long, dot double"
     )
 
 

@@ -75,6 +75,12 @@ def merge_result(
     <keys> WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`` — one
     shuffle on the key either way, no full-table rewrite there because
     Iceberg scopes the rewrite to matched files.
+
+    SINGLE-WRITER assumption (parquet stand-in only): the read-modify-write
+    is not locked, so two concurrent merges into the same table can lose one
+    writer's upserts, and a reader racing the two-rename window can observe
+    the table directory momentarily absent.  Iceberg's optimistic snapshot
+    commit removes both limitations on a real deployment.
     """
     import shutil
 
