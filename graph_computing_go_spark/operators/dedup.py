@@ -15,7 +15,12 @@ Scale notes: candidate generation never compares all pairs — MinHash bands
 bound the join key cardinality, and the shingle self-join (Jaccard) is the
 classic co-occurrence join with hub shingles ("the") removed by a document-
 frequency cap before the join (df_cap), which is the salting-equivalent for
-this workload.
+this workload.  The band/bucket self-joins (MinHash LSH, embedding LSH) run
+through ``grid_self_pairs``: a mega-cluster of near-identical documents
+(boilerplate, license files — common at 100 TB) would otherwise put all
+k²/2 of its pairs in ONE band-key group; the bucket-pair grid spreads them
+over ceil(k/chunk)·(ceil(k/chunk)+1)/2 independent tasks of ~(2·chunk)²
+generated pairs each, exactly like the NGD hub grid (functions/ngd.py:81-115).
 """
 
 from __future__ import annotations
@@ -88,6 +93,70 @@ def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
     )
 
 
+def grid_self_pairs(
+    df: DataFrame, key_cols: list[str], id_col: str, chunk: int = 1024
+) -> DataFrame:
+    """All unordered member pairs (id_a < id_b) within each ``key_cols``
+    group, with NO group owning its whole k²/2 pair blowup in one task.
+
+    The NGD bucket-pair grid (functions/ngd.py:81-115) generalized to any
+    (group, member) table: a group with k members is hashed into
+    m = ceil(k/chunk) buckets, every member replicated to the m bucket-pair
+    subgroups it participates in, and the self-join keys on
+    (key_cols, gi, gj) — so a mega-group spreads over m(m+1)/2 independent
+    tasks of ~(2·chunk)² generated pairs each.  Exact: a pair survives only
+    in the single subgroup equal to its own bucket pair (otherwise
+    same-bucket pairs would surface m times).  Non-mega groups have m = 1
+    and degenerate to the plain keyed join with no replication.
+
+    Output columns: ``key_cols`` + every non-key column ``c`` twice as
+    ``{c}_a`` / ``{c}_b``.
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    fan = df.groupBy(*key_cols).agg(
+        F.ceil(F.count("*") / F.lit(chunk)).cast("int").alias("__m")
+    )
+    e = df.join(fan, list(key_cols)).withColumn(
+        "__bkt", F.pmod(F.xxhash64(id_col), F.col("__m")).cast("int")
+    )
+    grid = e.withColumn(
+        "__x", F.explode(F.sequence(F.lit(0), F.col("__m") - 1))
+    ).select(
+        *key_cols,
+        F.least("__bkt", "__x").alias("__gi"),
+        F.greatest("__bkt", "__x").alias("__gj"),
+        "__bkt",
+        *payload,
+    )
+    l = grid.select(
+        *key_cols, "__gi", "__gj", F.col("__bkt").alias("__ba"),
+        *[F.col(c).alias(f"{c}_a") for c in payload],
+    )
+    r = grid.select(
+        *key_cols, "__gi", "__gj", F.col("__bkt").alias("__bb"),
+        *[F.col(c).alias(f"{c}_b") for c in payload],
+    )
+    # explicit repartition on the join key: the join's INPUT is tiny relative
+    # to its pair OUTPUT (~(2·chunk)× amplification), so AQE's input-size
+    # coalescing would funnel many grid subgroups into a handful of tasks —
+    # a user-specified repartition is never coalesced, and the join reuses
+    # its partitioning (no extra exchange)
+    jk = [*key_cols, "__gi", "__gj"]
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return (
+        l.repartition(n_parts, *jk)
+        .join(r.repartition(n_parts, *jk), jk)
+        .filter(
+            (F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+            & (F.col("__gi") == F.least("__ba", "__bb"))
+            & (F.col("__gj") == F.greatest("__ba", "__bb"))
+        )
+        .drop("__gi", "__gj", "__ba", "__bb")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -95,15 +164,18 @@ def minhash_lsh_candidates(
     k: int = 3,
     n_hashes: int = 16,
     rows_per_band: int = 4,
+    chunk: int = 1024,
 ) -> DataFrame:
-    """(a, b, n_bands): candidate near-dup pairs sharing >=1 LSH band."""
+    """(a, b, n_bands): candidate near-dup pairs sharing >=1 LSH band.
+
+    ``chunk`` bounds the per-task pair generation when one band key holds a
+    mega-cluster of duplicates (see ``grid_self_pairs``).
+    """
     sh = shingles(df, id_col, text_col, k)
     bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
-    l = bands.select("band", "band_key", F.col("id").alias("a"))
-    r = bands.select("band", "band_key", F.col("id").alias("b"))
+    pairs = grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
     return (
-        l.join(r, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_bands"))
     )
@@ -192,11 +264,17 @@ def embedding_near_dup(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk: int = 1024,
 ) -> DataFrame:
     """(a, b, cosine, keep_id): embedding-cosine near-duplicate pairs above
     ``threshold``, candidate-generated by LSH buckets (never all-pairs), with
     the canonical survivor = min id — the embedding-space member of the
-    dedup family (exact/minhash/simhash cover the lexical space)."""
+    dedup family (exact/minhash/simhash cover the lexical space).
+
+    The within-bucket self-join runs through ``grid_self_pairs`` so a
+    mega-cluster bucket (one boilerplate embedding repeated k times) spreads
+    its k²/2 pairs over ceil(k/chunk)² grid tasks instead of one.
+    """
     from graph_computing_go_spark.operators.similarity import (
         hyperplane_signature,
         with_norm,
@@ -207,21 +285,17 @@ def embedding_near_dup(
     vecs = with_norm(df, vec_col).join(
         sig.withColumnRenamed("id", id_col).select(id_col, "bucket"), id_col
     )
-    l = vecs.select(
-        F.col(id_col).alias("a"), F.col("_v").alias("va"),
-        F.col("_norm").alias("na"), "bucket",
+    members = vecs.select(
+        "bucket", F.col(id_col).alias("id"), "_v", "_norm"
     )
-    r = vecs.select(
-        F.col(id_col).alias("b"), F.col("_v").alias("vb"),
-        F.col("_norm").alias("nb"), "bucket",
-    )
-    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    pairs = grid_self_pairs(members, ["bucket"], "id", chunk)
     scored = pairs.select(
-        "a",
-        "b",
-        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-            "cosine"
-        ),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.round(
+            _dot(F.col("_v_a"), F.col("_v_b")) / (F.col("_norm_a") * F.col("_norm_b")),
+            6,
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= threshold).select(
         "a", "b", "cosine", F.least("a", "b").alias("keep_id")

@@ -88,6 +88,39 @@ def test_minhash_lsh_finds_dups(spark, docs):
         assert (a, b) in {(1, 2), (1, 3), (2, 3)}
 
 
+def test_grid_self_pairs_exact_vs_plain(spark):
+    """The bucket-pair grid (chunk small enough to force m>1 on the dup
+    cluster) must emit exactly the same candidate pairs as the plain keyed
+    self-join — no duplicates from same-bucket pairs, no dropped pairs."""
+    from graph_computing_go_spark.operators.dedup import embedding_near_dup
+
+    # 12 copies of one doc (a mega-cluster in every band) + 3 distinct docs
+    rows = [(i, "license boilerplate repeated verbatim in every file") for i in range(12)]
+    rows += [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+        (102, "completely different words entirely unrelated text here"),
+    ]
+    dup_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = sorted(
+        map(tuple, minhash_lsh_candidates(dup_docs, chunk=1_000_000).collect())
+    )
+    grid = sorted(map(tuple, minhash_lsh_candidates(dup_docs, chunk=3).collect()))
+    assert plain == grid
+    assert len(grid) >= 12 * 11 // 2  # the cluster's pairs all survive
+
+    # embedding flavour: 10 identical vectors land in one LSH bucket
+    vrows = [(i, [1.0, 0.5, -0.25, 2.0]) for i in range(10)]
+    vrows += [(50, [-1.0, 2.0, 0.5, -0.75]), (51, [0.1, -0.2, 0.3, -0.4])]
+    vecs = spark.createDataFrame(vrows, "vec_id long, embedding array<float>")
+    vplain = sorted(
+        map(tuple, embedding_near_dup(vecs, threshold=0.0, chunk=1_000_000).collect())
+    )
+    vgrid = sorted(map(tuple, embedding_near_dup(vecs, threshold=0.0, chunk=3).collect()))
+    assert vplain == vgrid
+    assert len(vgrid) >= 10 * 9 // 2
+
+
 def test_simhash_similarity_order(spark, docs):
     sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     assert sigs[1] == sigs[3]  # identical docs -> identical signature
