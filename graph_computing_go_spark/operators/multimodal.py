@@ -95,22 +95,32 @@ def extract_features(
                     "real image/audio decode requires PIL/torchaudio — "
                     "not available in this environment"
                 )
-            out = []
-            for mid, payload, meta in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"]
-            ):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                hist = np.bincount(b // (256 // n_bins), minlength=n_bins)
-                feat = hist / max(len(b), 1)
-                out.append(
-                    {
-                        "media_id": mid,
-                        "modality": meta["modality"],
-                        "n_bytes": len(b),
-                        "mean_byte": float(b.mean()) if len(b) else 0.0,
-                        "feature": feat.tolist(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            if len(pdf) == 0:
+                continue
+            # fully vectorized over the Arrow batch: one concatenated byte
+            # buffer + segment ids, histogram/sum via bincount (the
+            # np.add.at scatter, fused) — no per-row Python on the payloads
+            n = len(pdf)
+            lens = (
+                pdf["payload"].str.len().fillna(0).to_numpy(dtype=np.int64)
+            )
+            buf = np.frombuffer(
+                b"".join(pdf["payload"].dropna()), dtype=np.uint8
+            )
+            seg = np.repeat(np.arange(n), lens)
+            hist = np.bincount(
+                seg * n_bins + buf // (256 // n_bins), minlength=n * n_bins
+            ).reshape(n, n_bins)
+            sums = np.bincount(seg, weights=buf.astype(np.float64), minlength=n)
+            denom = np.maximum(lens, 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["meta"].str.get("modality"),
+                    "n_bytes": lens,
+                    "mean_byte": sums / denom,
+                    "feature": list(hist / denom[:, None]),
+                }
+            )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
