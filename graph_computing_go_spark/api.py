@@ -1233,6 +1233,160 @@ def q_label_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return route_edges_by_labels(edges, _vertex_labels(edges))
 
 
+# --------------------------------------------------------------------------
+# §3.3 lifecycle — per-(year, discipline) grouped distance complexity:
+# S7-shaped weighted edges -> J7 label routing -> A6/A7 per work key, all in
+# ONE grouped plan (the reference loops a DistanceGraph per (year, concept),
+# openAlexTopDsiplineDistanceComplexity.go:120-179).  Year derives from
+# l_orderkey arithmetic (3 years), disciplines from the shared vertex-label
+# assignment; node categories are 'm{id%3}' with an extra 'mx' for id%5==0
+# so ~20% of nodes are multi-category and the per-group COPY quirk
+# (distanceComplexity.go:91-113) is exercised end-to-end in the oracle.
+# --------------------------------------------------------------------------
+
+_DDC_SQL = f"""WITH {GRAPH_CTES},
+    {_VLABELS_SQL},
+    raw3 AS (
+      SELECT CAST(1995 + l_orderkey % 3 AS INT) AS year,
+             CAST(l_orderkey % {GRAPH_MOD} AS BIGINT) AS src,
+             CAST(l_partkey  % {GRAPH_MOD} AS BIGINT) AS dst
+      FROM lineitem
+      WHERE (l_orderkey % {GRAPH_MOD}) != (l_partkey % {GRAPH_MOD})
+    ),
+    routed AS (
+      SELECT r.year, r.src, r.dst,
+             unnest(list_intersect(ls.labels, ld.labels)) AS discipline
+      FROM raw3 r JOIN vl ls ON r.src = ls.id JOIN vl ld ON r.dst = ld.id
+    ),
+    gwedges AS (
+      SELECT year, discipline, GREATEST(src, dst) AS a, LEAST(src, dst) AS b,
+             CAST(COUNT(*) AS DOUBLE) AS w
+      FROM routed GROUP BY 1, 2, 3, 4
+    ),
+    gids AS (SELECT DISTINCT year, discipline, a AS id FROM gwedges
+             UNION SELECT DISTINCT year, discipline, b FROM gwedges),
+    gcats AS (SELECT year, discipline, id,
+                     ['m' || CAST(id % 3 AS VARCHAR)]
+                       || (CASE WHEN id % 5 = 0 THEN ['mx'] ELSE [] END) AS cats
+              FROM gids),
+    gmax AS (SELECT year, discipline, MAX(id) AS mx FROM gids GROUP BY 1, 2),
+    copies AS (
+      SELECT c.year, c.discipline, c.id AS orig, 'mx' AS cat,
+             g.mx + ROW_NUMBER() OVER (PARTITION BY c.year, c.discipline
+                                       ORDER BY c.id) AS copy_id
+      FROM gcats c JOIN gmax g
+        ON c.year = g.year AND c.discipline = g.discipline
+      WHERE len(c.cats) > 1
+    ),
+    node_cat AS (SELECT year, discipline, id, cats[1] AS cat FROM gcats
+                 UNION ALL
+                 SELECT year, discipline, copy_id, cat FROM copies),
+    copy_edges AS (
+      SELECT w.year, w.discipline, c.copy_id AS a, w.b, w.w
+      FROM gwedges w JOIN copies c
+        ON w.year = c.year AND w.discipline = c.discipline AND w.a = c.orig
+    ),
+    e AS (SELECT year, discipline, a, b, w FROM gwedges
+          UNION ALL SELECT year, discipline, a, b, w FROM copy_edges),
+    incident AS (SELECT year, discipline, a AS id, w FROM e
+                 UNION ALL SELECT year, discipline, b, w FROM e),
+    pn AS (SELECT year, discipline, id, SUM(w) AS s,
+                  LOG2(SUM(w)) - SUM(w*LOG2(w))/SUM(w) AS h
+           FROM incident GROUP BY 1, 2, 3),
+    gbig AS (SELECT year, discipline, SUM(h*s)/SUM(s) AS big
+             FROM pn GROUP BY 1, 2),
+    tagged AS (
+      SELECT e.year, e.discipline, e.a, e.b, e.w,
+             ca.cat AS cat_a, cb.cat AS cat_b
+      FROM e
+      JOIN node_cat ca ON e.year = ca.year AND e.discipline = ca.discipline
+                       AND e.a = ca.id
+      JOIN node_cat cb ON e.year = cb.year AND e.discipline = cb.discipline
+                       AND e.b = cb.id
+    ),
+    gvall AS (SELECT year, discipline, SUM(w)*2 AS v FROM tagged GROUP BY 1, 2),
+    intra AS (SELECT * FROM tagged WHERE cat_a = cat_b),
+    ii AS (SELECT year, discipline, cat_a AS cat, a AS id, w FROM intra
+           UNION ALL SELECT year, discipline, cat_a, b, w FROM intra),
+    nh AS (SELECT year, discipline, cat, id, SUM(w) AS s,
+                  LOG2(SUM(w)) - SUM(w*LOG2(w))/SUM(w) AS h
+           FROM ii GROUP BY 1, 2, 3, 4),
+    mi AS (SELECT year, discipline, cat_a AS cat, SUM(w)*2 AS inner
+           FROM intra GROUP BY 1, 2, 3),
+    hm AS (SELECT nh.year, nh.discipline, nh.cat,
+                  SUM(nh.s*nh.h)/MAX(mi.inner) AS h_module,
+                  MAX(mi.inner) AS inner
+           FROM nh JOIN mi ON nh.year = mi.year AND nh.discipline = mi.discipline
+                          AND nh.cat = mi.cat
+           GROUP BY 1, 2, 3),
+    cr AS (SELECT year, discipline, cat_a AS cat, w FROM tagged
+           WHERE cat_a != cat_b
+           UNION ALL
+           SELECT year, discipline, cat_b, w FROM tagged WHERE cat_a != cat_b),
+    oo AS (SELECT year, discipline, cat, SUM(w) AS outer FROM cr GROUP BY 1, 2, 3),
+    glit AS (
+      SELECT hm.year, hm.discipline,
+             SUM(hm.h_module * hm.inner / v.v
+                 - LOG2(hm.inner / v.v) * COALESCE(oo.outer, 0) / v.v) AS little
+      FROM hm
+      LEFT JOIN oo ON hm.year = oo.year AND hm.discipline = oo.discipline
+                  AND hm.cat = oo.cat
+      JOIN gvall v ON hm.year = v.year AND hm.discipline = v.discipline
+      GROUP BY 1, 2
+    )
+    SELECT b.year, b.discipline, ROUND(b.big, 6) AS big,
+           ROUND(l.little, 6) AS little
+    FROM gbig b LEFT JOIN glit l
+      ON b.year = l.year AND b.discipline = l.discipline"""
+
+
+@register("discipline_distance_complexity", _DDC_SQL)
+def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 lifecycle (openAlexTopDsiplineDistanceComplexity.go:44-179 /
+    wikiAcademicCircleDistanceComplexity.go:44-68): one weighted graph per
+    (year, discipline), label-routed (J7), with per-group multi-category
+    copies — computed in ONE grouped plan, no driver loop over work keys."""
+    from graph_computing_go_spark.operators.labels import route_edges_by_labels
+
+    li = load_table(spark, sf_dir, "lineitem")
+    raw = li.select(
+        (F.lit(1995) + F.col("l_orderkey") % 3).cast("int").alias("year"),
+        (F.col("l_orderkey") % GRAPH_MOD).cast("long").alias("src"),
+        (F.col("l_partkey") % GRAPH_MOD).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    labels = _vertex_labels(derive_edges(spark, sf_dir))
+    routed = route_edges_by_labels(raw, labels, carry_cols=("year",))
+    wedges = routed.groupBy(
+        "year",
+        "discipline",
+        F.greatest("src", "dst").alias("a"),
+        F.least("src", "dst").alias("b"),
+    ).agg(F.count("*").cast("double").alias("distance"))
+    ids = (
+        wedges.select("year", "discipline", F.col("a").alias("id"))
+        .unionByName(wedges.select("year", "discipline", F.col("b").alias("id")))
+        .distinct()
+    )
+    cats = ids.select(
+        "year",
+        "discipline",
+        "id",
+        F.concat(
+            F.array(F.concat(F.lit("m"), (F.col("id") % 3).cast("string"))),
+            F.when(F.col("id") % 5 == 0, F.array(F.lit("mx"))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ).alias("cats"),
+    )
+    df = distance_complexity(wedges, cats, group=["year", "discipline"])
+    return df.select(
+        "year",
+        "discipline",
+        F.round("big", 6).alias("big"),
+        F.round("little", 6).alias("little"),
+    )
+
+
 @register(
     "dense_string_ids",
     """SELECT key, CAST(DENSE_RANK() OVER (ORDER BY key) AS BIGINT) AS dense_id

@@ -28,12 +28,23 @@ copies; a copy shares the original's *a-side* distance map only
 the original sits on the smaller-id side are NOT duplicated.  Preserved
 verbatim (it changes results for multi-category inputs).
 
-Goldens: distanceComplexity_test.go:31-36,54-59,86-91 — six values, +-1e-9
-(tests/test_goldens_distance.py).
+**Grouped mode** (``group=[...]``): the reference's third entry point builds
+ONE DistanceGraph per (year, discipline) work key and runs the same math on
+each (openAlexTopDsiplineDistanceComplexity.go:120-179,
+wikiAcademicCircleDistanceComplexity.go:44-68) — a driver loop over hundreds
+of graphs.  Here the group keys thread through every aggregation instead:
+one Spark plan, one shuffle per stage keyed by (group..., node/module),
+every group computed in parallel inside the same stages.  ``wedges`` and
+``categories`` then carry the group columns; output is one row per group.
 
-Scale: big is one explode-both-directions + one groupBy(node) using the
-one-pass identity H = log2(R) - sum(w log2 w)/R; little is the same shape
-grouped by (module, node) then (module).  No driver-side iteration.
+Goldens: distanceComplexity_test.go:31-36,54-59,86-91 — six values, +-1e-9
+(tests/test_goldens_distance.py); grouped-vs-per-group equality is pinned by
+tests/test_goldens_distance.py::test_grouped_equals_per_group.
+
+Scale: big is one explode-both-directions + one groupBy(group..., node)
+using the one-pass identity H = log2(R) - sum(w log2 w)/R; little is the
+same shape grouped by (group..., module, node) then (group..., module).  No
+driver-side iteration at any group count.
 """
 
 from __future__ import annotations
@@ -44,54 +55,85 @@ from pyspark.sql import functions as F
 from graph_computing_go_spark.operators.graph import global_row_number
 
 
-def _canonical(wedges: DataFrame) -> DataFrame:
+def _canonical(wedges: DataFrame, group: list[str]) -> DataFrame:
     """Store each undirected edge once under (a=max, b=min) — last-wins dedup
     is the caller's concern (the reference overwrites on re-insert)."""
     return wedges.select(
+        *group,
         F.greatest("a", "b").alias("a"),
         F.least("a", "b").alias("b"),
         F.col("distance").cast("double").alias("w"),
-    ).dropDuplicates(["a", "b"])
+    ).dropDuplicates([*group, "a", "b"])
 
 
-def _with_copies(wedges: DataFrame, categories: DataFrame):
-    """Apply the category-copy quirk; return (edges, node_cat(id, cat))."""
-    # lazy max-id: 1-row aggregates broadcast-crossJoined instead of two
-    # eager collect jobs per invocation
-    max_c = categories.agg(
-        F.coalesce(F.max("id"), F.lit(0)).alias("__mc")
-    )
-    max_e = wedges.agg(
-        F.coalesce(F.greatest(F.max("a"), F.max("b")), F.lit(0)).alias("__me")
-    )
-    max_df = max_c.crossJoin(max_e).select(
-        F.greatest("__mc", "__me").alias("__max_id")
-    )
+def _with_copies(wedges: DataFrame, categories: DataFrame, group: list[str]):
+    """Apply the category-copy quirk; return (edges, node_cat(group..., id, cat)).
+
+    Copy ids are ``per-group max id + a globally unique positive rank`` —
+    unique within the group and above every original id there, which is all
+    the math needs (copy ids never appear in the output)."""
+    if group:
+        max_c = categories.groupBy(*group).agg(
+            F.coalesce(F.max("id"), F.lit(0)).alias("__mc")
+        )
+        max_e = wedges.groupBy(*group).agg(
+            F.coalesce(F.greatest(F.max("a"), F.max("b")), F.lit(0)).alias("__me")
+        )
+        max_df = (
+            max_c.join(max_e, list(group), "full")
+            .select(
+                *group,
+                F.greatest(
+                    F.coalesce("__mc", F.lit(0)), F.coalesce("__me", F.lit(0))
+                ).alias("__max_id"),
+            )
+        )
+    else:
+        # lazy max-id: 1-row aggregates broadcast-crossJoined instead of two
+        # eager collect jobs per invocation
+        max_c = categories.agg(
+            F.coalesce(F.max("id"), F.lit(0)).alias("__mc")
+        )
+        max_e = wedges.agg(
+            F.coalesce(F.greatest(F.max("a"), F.max("b")), F.lit(0)).alias("__me")
+        )
+        max_df = max_c.crossJoin(max_e).select(
+            F.greatest("__mc", "__me").alias("__max_id")
+        )
 
     multi = categories.filter(F.size("cats") > 1)
-    # fresh ids via the range-partitioned global rank — same (id, pos) asc
-    # ordering as the old single-partition global window (goldens are
+    # fresh ids via the range-partitioned global rank — same (group..., id,
+    # pos) asc ordering as a single global window would give (goldens are
     # bit-identical), but scale-safe when most nodes carry 2+ categories
-    copies = (
-        global_row_number(
-            multi.select("id", F.posexplode("cats").alias("pos", "cat")).filter(
-                F.col("pos") >= 1
-            ),
-            [F.asc("id"), F.asc("pos")],
-            "__rn",
-        )
-        .crossJoin(F.broadcast(max_df))
-        .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
-        .drop("__max_id", "__rn")
+    ranked = global_row_number(
+        multi.select(*group, "id", F.posexplode("cats").alias("pos", "cat")).filter(
+            F.col("pos") >= 1
+        ),
+        [*[F.asc(g) for g in group], F.asc("id"), F.asc("pos")],
+        "__rn",
     )
+    if group:
+        copies = (
+            ranked.join(max_df, list(group))
+            .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
+            .drop("__max_id", "__rn")
+        )
+    else:
+        copies = (
+            ranked.crossJoin(F.broadcast(max_df))
+            .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
+            .drop("__max_id", "__rn")
+        )
     node_cat = categories.select(
-        "id", F.element_at("cats", 1).alias("cat")
-    ).unionByName(copies.select(F.col("copy_id").alias("id"), "cat"))
+        *group, "id", F.element_at("cats", 1).alias("cat")
+    ).unionByName(copies.select(*group, F.col("copy_id").alias("id"), "cat"))
 
     # a-side-only duplication (distanceComplexity.go:109)
-    cm = F.broadcast(copies.select(F.col("id").alias("orig"), "copy_id"))
-    copy_edges = wedges.join(cm, wedges.a == cm.orig).select(
-        F.col("copy_id").alias("a"), "b", "w"
+    cm = copies.select(*group, F.col("id").alias("a"), "copy_id")
+    if not group:
+        cm = F.broadcast(cm)
+    copy_edges = wedges.join(cm, [*group, "a"]).select(
+        *group, F.col("copy_id").alias("a"), "b", "w"
     )
     return wedges.unionByName(copy_edges), node_cat
 
@@ -107,50 +149,68 @@ def _node_entropy(incident: DataFrame, group: list[str]) -> DataFrame:
 
 
 def distance_complexity(
-    wedges: DataFrame, categories: DataFrame | None = None
+    wedges: DataFrame,
+    categories: DataFrame | None = None,
+    group: list[str] | None = None,
 ) -> DataFrame:
-    """One row (big, little).  ``wedges``: (a, b, distance>0);
-    ``categories``: (id, cats array<string>) or None → little is null."""
-    e = _canonical(wedges)
+    """(group..., big, little) — one row per group (one row total when
+    ``group`` is empty/None).
+
+    ``wedges``: (group..., a, b, distance>0);
+    ``categories``: (group..., id, cats array<string>) or None → little is
+    null.  ``group``: names of the work-key columns present in BOTH inputs
+    (e.g. ``["year", "discipline"]``), or None for a single graph.
+    """
+    group = list(group or [])
+    e = _canonical(wedges, group)
     node_cat = None
     if categories is not None:
-        e, node_cat = _with_copies(e, categories)
+        e, node_cat = _with_copies(e, categories, group)
     e = e.cache()
 
     # ---- big: no membership check, copies' shared maps already materialized
-    incident = e.select(F.col("a").alias("id"), "w").unionByName(
-        e.select(F.col("b").alias("id"), "w")
+    incident = e.select(*group, F.col("a").alias("id"), "w").unionByName(
+        e.select(*group, F.col("b").alias("id"), "w")
     )
-    per_node = _node_entropy(incident, [])
-    big = per_node.agg(
+    per_node = _node_entropy(incident, group)
+    big = per_node.groupBy(*group).agg(
         (F.sum(F.col("h") * F.col("s")) / F.sum("s")).alias("big")
     )
 
     if node_cat is None:
-        return big.select("big", F.lit(None).cast("double").alias("little"))
+        return big.select(
+            *group, "big", F.lit(None).cast("double").alias("little")
+        )
 
     # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
-    # copy maps above stay broadcast — they are genuinely small
+    # copy maps above stay broadcast in ungrouped mode — they are small there
     nc = node_cat
     tagged = (
-        e.join(nc.select(F.col("id").alias("a"), F.col("cat").alias("cat_a")), "a")
-        .join(nc.select(F.col("id").alias("b"), F.col("cat").alias("cat_b")), "b")
+        e.join(
+            nc.select(*group, F.col("id").alias("a"), F.col("cat").alias("cat_a")),
+            [*group, "a"],
+        ).join(
+            nc.select(*group, F.col("id").alias("b"), F.col("cat").alias("cat_b")),
+            [*group, "b"],
+        )
     ).cache()
 
-    vall = tagged.agg((F.sum("w") * 2).alias("vall"))
+    vall = tagged.groupBy(*group).agg((F.sum("w") * 2).alias("vall"))
 
     intra = tagged.filter(F.col("cat_a") == F.col("cat_b"))
     intra_incident = intra.select(
-        F.col("cat_a").alias("cat"), F.col("a").alias("id"), "w"
-    ).unionByName(intra.select(F.col("cat_a").alias("cat"), F.col("b").alias("id"), "w"))
-    node_h = _node_entropy(intra_incident, ["cat"])
-    mod_inner = intra.groupBy(F.col("cat_a").alias("cat")).agg(
+        *group, F.col("cat_a").alias("cat"), F.col("a").alias("id"), "w"
+    ).unionByName(
+        intra.select(*group, F.col("cat_a").alias("cat"), F.col("b").alias("id"), "w")
+    )
+    node_h = _node_entropy(intra_incident, [*group, "cat"])
+    mod_inner = intra.groupBy(*group, F.col("cat_a").alias("cat")).agg(
         (F.sum("w") * 2).alias("inner")
     )
     # hModule = sum_i (s_i / inner) * h_i
     h_module = (
-        node_h.join(mod_inner, "cat")
-        .groupBy("cat")
+        node_h.join(mod_inner, [*group, "cat"])
+        .groupBy(*group, "cat")
         .agg(
             (F.sum(F.col("s") * F.col("h")) / F.first("inner")).alias("h_module"),
             F.first("inner").alias("inner"),
@@ -158,22 +218,28 @@ def distance_complexity(
     )
     cross = tagged.filter(F.col("cat_a") != F.col("cat_b"))
     outer = (
-        cross.select(F.col("cat_a").alias("cat"), "w")
-        .unionByName(cross.select(F.col("cat_b").alias("cat"), "w"))
-        .groupBy("cat")
+        cross.select(*group, F.col("cat_a").alias("cat"), "w")
+        .unionByName(cross.select(*group, F.col("cat_b").alias("cat"), "w"))
+        .groupBy(*group, "cat")
         .agg(F.sum("w").alias("outer"))
     )
-    per_mod = (
-        h_module.join(outer, "cat", "left")
-        .crossJoin(F.broadcast(vall))
-        .select(
-            (
-                F.col("h_module") * F.col("inner") / F.col("vall")
-                - F.log2(F.col("inner") / F.col("vall"))
-                * F.coalesce("outer", F.lit(0.0))
-                / F.col("vall")
-            ).alias("term")
-        )
+    per_mod = h_module.join(outer, [*group, "cat"], "left")
+    if group:
+        per_mod = per_mod.join(vall, list(group))
+    else:
+        per_mod = per_mod.crossJoin(F.broadcast(vall))
+    per_mod = per_mod.select(
+        *group,
+        (
+            F.col("h_module") * F.col("inner") / F.col("vall")
+            - F.log2(F.col("inner") / F.col("vall"))
+            * F.coalesce("outer", F.lit(0.0))
+            / F.col("vall")
+        ).alias("term"),
     )
-    little = per_mod.agg(F.sum("term").alias("little"))
+    little = per_mod.groupBy(*group).agg(F.sum("term").alias("little"))
+    if group:
+        return big.join(little, list(group), "left").select(
+            *group, "big", "little"
+        )
     return big.crossJoin(little)

@@ -43,11 +43,18 @@ def parse_core_tags(
 
 
 def route_edges_by_labels(
-    edges: DataFrame, labels: DataFrame, id_col: str = "id", label_col: str = "labels"
+    edges: DataFrame,
+    labels: DataFrame,
+    id_col: str = "id",
+    label_col: str = "labels",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(src, dst, discipline): one row per discipline shared by both
-    endpoints; edges with empty intersection drop out (the reference skips
-    them, openAlexTopDsiplineDistanceComplexity.go:125-133)."""
+    """(carry..., src, dst, discipline): one row per discipline shared by
+    both endpoints; edges with empty intersection drop out (the reference
+    skips them, openAlexTopDsiplineDistanceComplexity.go:125-133).
+    ``carry_cols`` names extra edge columns (e.g. ``("year",)``) preserved
+    through the routing — the reference's per-(year, discipline) work-key
+    fan-out (:126-134)."""
     lab = labels.select(F.col(id_col).alias("id"), F.col(label_col).alias("labels"))
     j = (
         edges.join(
@@ -57,6 +64,7 @@ def route_edges_by_labels(
         )
     )
     return j.select(
+        *carry_cols,
         "src",
         "dst",
         F.explode(F.array_intersect("l_src", "l_dst")).alias("discipline"),

@@ -41,3 +41,46 @@ def test_distance_complexity_no_categories(spark):
     row = distance_complexity(wedge_df(spark, V1_EDGES)).collect()[0]
     assert row["big"] == pytest.approx(1.4999999999999998, abs=1e-9)
     assert row["little"] is None
+
+
+# multi-category variants exercise the cross-category copy quirk per group
+V1_CATS_MULTI = {1: ["a", "c"], 2: ["a"], 3: ["b"], 4: ["b", "c"]}
+V2_CATS_MULTI = {1: ["a"], 2: ["a", "c"], 3: ["b"], 4: ["b"], 5: ["b", "a"], 6: ["b"]}
+
+
+def test_grouped_equals_per_group(spark):
+    """The grouped plan (one invocation, group keys threaded through every
+    aggregation) must equal independent per-group invocations — including
+    graphs whose nodes carry 2+ categories (the copy path)."""
+    from pyspark.sql import functions as F
+
+    graphs = {
+        ("2008", "math"): (V1_EDGES, V1_CATS_MULTI),
+        ("2008", "bio"): (V2_EDGES, V2_CATS_MULTI),
+        ("2019", "math"): (V3_EDGES, V3_CATS),
+    }
+    wedges = None
+    cats = None
+    for (yr, disc), (edges, cmap) in graphs.items():
+        w = wedge_df(spark, edges).select(
+            F.lit(yr).alias("year"), F.lit(disc).alias("discipline"), "*"
+        )
+        c = vert_df(spark, cmap).select(
+            F.lit(yr).alias("year"), F.lit(disc).alias("discipline"), "*"
+        )
+        wedges = w if wedges is None else wedges.unionByName(w)
+        cats = c if cats is None else cats.unionByName(c)
+
+    got = {
+        (r["year"], r["discipline"]): (r["big"], r["little"])
+        for r in distance_complexity(
+            wedges, cats, group=["year", "discipline"]
+        ).collect()
+    }
+    assert set(got) == set(graphs)
+    for key, (edges, cmap) in graphs.items():
+        solo = distance_complexity(
+            wedge_df(spark, edges), vert_df(spark, cmap)
+        ).collect()[0]
+        assert got[key][0] == pytest.approx(solo["big"], abs=1e-9), key
+        assert got[key][1] == pytest.approx(solo["little"], abs=1e-9), key
