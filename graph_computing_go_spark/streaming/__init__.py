@@ -11,3 +11,8 @@ from graph_computing_go_spark.streaming.events import (  # noqa: F401
     hourly_event_stats_stream,
     run_stream_once,
 )
+from graph_computing_go_spark.streaming.sessions import (  # noqa: F401
+    sessionize_batch,
+    sessionize_stream,
+    sessionize_stream_watermarked,
+)

@@ -300,6 +300,79 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_watermarked_sessionization_out_of_order_batches(spark, tmp_path):
+    """Native session_window + watermark handles cross-batch stragglers BY
+    SPEC: an out-of-order event arriving in a later micro-batch bridges two
+    provisional sessions into one, and the merged session equals the batch
+    twin on the union of all events."""
+    import datetime
+
+    from graph_computing_go_spark.streaming.sessions import (
+        sessionize_batch,
+        sessionize_stream_watermarked,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mins(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    src = str(tmp_path / "wm_src")
+    batch_a = [(7, mins(0), 1.0), (7, mins(10), 2.0), (7, mins(50), 4.0)]
+    # straggler: 12:25 arrives one micro-batch later; it is within the
+    # 1h lateness and BRIDGES the two provisional sessions of batch A
+    batch_b = [(7, mins(25), 8.0)]
+    # sentinel far in the future: advances the watermark so user 7's merged
+    # session closes and is emitted before the one-shot run drains
+    batch_c = [(99, t0 + datetime.timedelta(days=2), 0.0)]
+    schema = "user_id long, ts timestamp, value double"
+    # one file per micro-batch (maxFilesPerTrigger=1); file order by name
+    for i, rows in enumerate([batch_a, batch_b, batch_c]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        import glob as _glob
+        import os as _os
+
+        for f in _glob.glob(f"{src}/part-*"):
+            if not _os.path.basename(f).startswith(f"b{i}-"):
+                _os.rename(f, f"{src}/b{i}-{_os.path.basename(f)}")
+
+    stream_df = sessionize_stream_watermarked(
+        spark, src, gap_minutes=30, max_lateness="1 hour", max_files_per_trigger=1
+    )
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wm_sessions")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in spark.table("t_wm_sessions").collect()
+    }
+    # user 7's four events form ONE merged session 12:00-12:50 (the 12:25
+    # straggler closed both 40-minute gaps); the sentinel stays open in state
+    assert got == {(7, mins(0), mins(50)): (4, 15.0)}
+
+    union = spark.createDataFrame(batch_a + batch_b + batch_c, schema)
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["sum_value"], 6),
+        )
+        for r in sessionize_batch(union, gap_minutes=30).collect()
+        if r["user_id"] != 99  # sentinel's session is still open in state
+    }
+    assert got == want
+
+
 def test_cosine_topk_arrow_tie_break_parity(spark):
     """k-boundary ties after 6-decimal rounding must break identically
     (rounded cosine desc, c_id asc) in the exact and Arrow paths."""
