@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "structural_entropy",
     "multilayer_entropy",
     "distance_complexity",
+    "discipline_distance_complexity",
     "google_distance",
     "top_percent_slice",
     "pricing_summary",

@@ -1375,14 +1375,21 @@ def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFr
         (F.col("l_orderkey") % GRAPH_MOD).cast("long").alias("src"),
         (F.col("l_partkey") % GRAPH_MOD).cast("long").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
-    labels = _vertex_labels(derive_edges(spark, sf_dir))
+    # labels need only the vertex-id SET, identical between the raw
+    # multigraph and the distinct edge table — deriving from raw skips the
+    # (src, dst)-pair distinct shuffle (ids partial-aggregate to <=GRAPH_MOD
+    # rows per map task before the exchange)
+    labels = _vertex_labels(raw.select("src", "dst"))
     routed = route_edges_by_labels(raw, labels, carry_cols=("year",))
+    # cache the routed+grouped edge table: it feeds the canonical edges, the
+    # per-group max-id aggregates, AND the id/category derivation — without
+    # the cache the routing explode re-evaluates once per consumer
     wedges = routed.groupBy(
         "year",
         "discipline",
         F.greatest("src", "dst").alias("a"),
         F.least("src", "dst").alias("b"),
-    ).agg(F.count("*").cast("double").alias("distance"))
+    ).agg(F.count("*").cast("double").alias("distance")).cache()
     ids = (
         wedges.select("year", "discipline", F.col("a").alias("id"))
         .unionByName(wedges.select("year", "discipline", F.col("b").alias("id")))
