@@ -18,7 +18,8 @@ Reference command → subcommand map:
 | `oae -t total` (cmd/oae.go:23-41) | `yearly-entropy` (same lifecycle, works payload) |
 | `oae -t degreeStats` / `wikiDegreeStats` | `degree-stats` |
 | `wikipediaGoogleDistance` (cmd/wikipediaGoogleDistance.go) | `google-distance` |
-| `oae -t tddc` / distance-complexity family | `distance-complexity` |
+| single-graph distance-complexity family | `distance-complexity` |
+| `oae -t tddc` per-(year, discipline) lifecycle (openAlexTopDsiplineDistanceComplexity.go) | `tddc` |
 | `wikipediaInDegree` (cmd/wikipediaInDegree.go) | `in-degree` |
 | (north rule additions) | `pagerank`, `connected-components`, `label-propagation`, `triangles` |
 | `extractWikipediaDump` (ingest) | `ingest-repos` |
@@ -143,6 +144,79 @@ def cmd_distance_complexity(args):
     write_result(res, args.output, "distance_complexity")
     row = res.collect()[0]
     _emit(cmd=args.cmd, big=row["big"], little=row["little"])
+
+
+def cmd_tddc(args):
+    """Reference `oae -t tddc` lifecycle
+    (openAlexTopDsiplineDistanceComplexity.go:44-179): weighted TSV scan
+    (S7) → dense concept ids (J8) → label-intersection routing (J7) →
+    grouped big/little per (year, discipline) (A6/A7) — ONE plan for every
+    work key, vs the reference's goroutine-per-(year, concept) loop.
+
+    ``--labels``: parquet (key: string, labels: array<string>) mapping
+    concept names to their lv0 disciplines; an edge belongs to every
+    discipline shared by its endpoints.  ``--categories``: optional parquet
+    (key: string, cats: array<string>) of module labels per concept
+    (lv1 titles in the reference); nodes present in a group without a
+    category drop out of the little term only, like the reference's
+    unknown-category warning path."""
+    from graph_computing_go_spark.functions.distance_complexity import (
+        distance_complexity,
+    )
+    from graph_computing_go_spark.operators.labels import (
+        dense_string_ids,
+        route_edges_by_labels,
+    )
+    from graph_computing_go_spark.sources.io import read_weighted_tsv, write_result
+
+    spark = _spark(args)
+    w = read_weighted_tsv(spark, args.tsv)
+    names = w.select(F.col("concept1").alias("key")).unionByName(
+        w.select(F.col("concept2").alias("key"))
+    )
+    ids = dense_string_ids(names, "key").cache()
+    edges = (
+        w.join(ids.withColumnRenamed("key", "concept1"), "concept1")
+        .withColumnRenamed("dense_id", "src")
+        .join(ids.withColumnRenamed("key", "concept2"), "concept2")
+        .withColumnRenamed("dense_id", "dst")
+        .select("year", "src", "dst", "distance")
+    )
+    labels = (
+        spark.read.parquet(args.labels)
+        .join(ids, "key")
+        .select(F.col("dense_id").alias("id"), "labels")
+    )
+    routed = route_edges_by_labels(
+        edges, labels, carry_cols=("year", "distance")
+    )
+    wedges = routed.select(
+        "year",
+        "discipline",
+        F.greatest("src", "dst").alias("a"),
+        F.least("src", "dst").alias("b"),
+        "distance",
+    ).cache()
+    cats = None
+    if args.categories:
+        cmap = (
+            spark.read.parquet(args.categories)
+            .join(ids, "key")
+            .select(F.col("dense_id").alias("id"), "cats")
+        )
+        present = (
+            wedges.select("year", "discipline", F.col("a").alias("id"))
+            .unionByName(
+                wedges.select("year", "discipline", F.col("b").alias("id"))
+            )
+            .distinct()
+        )
+        cats = present.join(cmap, "id").select("year", "discipline", "id", "cats")
+    res = distance_complexity(
+        wedges, cats, group=["year", "discipline"]
+    ).cache()
+    write_result(res, args.output, "discipline_distance_complexity")
+    _emit(cmd=args.cmd, groups=res.count())
 
 
 def cmd_in_degree(args):
@@ -281,6 +355,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--categories")
     sp.add_argument("--output", required=True)
     sp.set_defaults(fn=cmd_distance_complexity)
+
+    sp = sub.add_parser("tddc")
+    sp.add_argument("--tsv", required=True)
+    sp.add_argument("--labels", required=True)
+    sp.add_argument("--categories")
+    sp.add_argument("--output", required=True)
+    sp.set_defaults(fn=cmd_tddc)
 
     sp = sub.add_parser("in-degree")
     common(sp)

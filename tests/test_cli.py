@@ -138,3 +138,79 @@ def test_cli_in_degree_merge_idempotent(spark, graph_dirs, capsys):
     merged = spark.read.parquet(os.path.join(out, "in_degree"))
     rows = sorted(tuple(r) for r in merged.collect())
     assert len(rows) == len({r[0] for r in rows})  # one row per vertex
+
+
+def test_cli_tddc_grouped_lifecycle(spark, tmp_path, capsys):
+    """`tddc` (the reference's oae -t tddc): TSV -> dense ids -> label
+    routing -> grouped big/little, one result row per (year, discipline);
+    values equal independent per-group distance_complexity invocations."""
+    from pyspark.sql import functions as F
+
+    from graph_computing_go_spark.functions.distance_complexity import (
+        distance_complexity,
+    )
+
+    tsv = tmp_path / "nis.tsv"
+    # two years; concepts c1..c4; c5 appears only via a malformed row
+    rows = [
+        (2008, "c1", "c2", 1.0), (2008, "c1", "c3", 2.0),
+        (2008, "c2", "c3", 1.5), (2008, "c3", "c4", 3.0),
+        (2019, "c1", "c2", 4.0), (2019, "c2", "c4", 2.0),
+    ]
+    lines = [f"{y}\t{a}\t{b}\t{d}" for y, a, b, d in rows]
+    lines.insert(2, "garbage line without tabs")        # malformed -> dropped
+    lines.append("2019\tc1\tc5\t0.0000000001")          # ~zero -> dropped
+    tsv.write_text("\n".join(lines) + "\n")
+
+    labels = tmp_path / "labels"
+    spark.createDataFrame(
+        [("c1", ["Math", "CS"]), ("c2", ["Math"]), ("c3", ["Math", "CS"]),
+         ("c4", ["CS"])],
+        "key string, labels array<string>",
+    ).write.parquet(str(labels))
+    categories = tmp_path / "cats"
+    spark.createDataFrame(
+        [("c1", ["alg"]), ("c2", ["alg", "geo"]), ("c3", ["geo"]),
+         ("c4", ["sys"])],
+        "key string, cats array<string>",
+    ).write.parquet(str(categories))
+
+    from graph_computing_go_spark.cli import main
+
+    out = str(tmp_path / "wh")
+    main(["tddc", "--tsv", str(tsv), "--labels", str(labels),
+          "--categories", str(categories), "--output", out])
+    res = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    got = {
+        (r["year"], r["discipline"]): (r["big"], r["little"])
+        for r in spark.read.parquet(
+            f"{out}/discipline_distance_complexity"
+        ).collect()
+    }
+    assert res["groups"] == len(got)
+    # routing: an edge joins every discipline shared by both endpoints
+    # (c1-c2: Math; c1-c3: Math+CS; c2-c3: Math; c3-c4: CS; 2019 c1-c2:
+    # Math; c2-c4: none -> dropped). Dense ids are 1-based over sorted keys.
+    ids = {"c1": 1, "c2": 2, "c3": 3, "c4": 4}
+    cats_map = {"c1": ["alg"], "c2": ["alg", "geo"], "c3": ["geo"], "c4": ["sys"]}
+    expect_groups = {
+        (2008, "Math"): [("c1", "c2", 1.0), ("c1", "c3", 2.0), ("c2", "c3", 1.5)],
+        (2008, "CS"): [("c1", "c3", 2.0), ("c3", "c4", 3.0)],
+        (2019, "Math"): [("c1", "c2", 4.0)],
+    }
+    assert set(got) == set(expect_groups)
+    for key, ge in expect_groups.items():
+        w = spark.createDataFrame(
+            [(max(ids[a], ids[b]), min(ids[a], ids[b]), d) for a, b, d in ge],
+            "a long, b long, distance double",
+        )
+        nodes = sorted({c for a, b, _ in ge for c in (a, b)})
+        c = spark.createDataFrame(
+            [(ids[n], cats_map[n]) for n in nodes],
+            "id long, cats array<string>",
+        )
+        solo = distance_complexity(w, c).collect()[0]
+        assert got[key][0] == pytest.approx(solo["big"], abs=1e-9), key
+        assert got[key][1] == pytest.approx(solo["little"], abs=1e-9), key
