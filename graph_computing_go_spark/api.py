@@ -1200,9 +1200,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Label/taxonomy + set/window operators (P10, J7, J8, §2.5, §2.7)
 # --------------------------------------------------------------------------
 
-_VLABELS_SPARK = None  # built inline in the queries below
-
-
 def _vertex_labels(edges: DataFrame) -> DataFrame:
     """Deterministic multi-label assignment for derived-graph vertices:
     everyone gets 'a'; even ids also 'b'; id%7<3 also 'c'."""

@@ -251,11 +251,14 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rank_limit: int = 1,
+    centroids=None,
 ) -> DataFrame:
     """(id, centroid, dot): nearest ``rank_limit`` centroids per vector by
-    dot product against the deterministic LCG centroid matrix (a stand-in
-    for trained k-means centroids — swap ``_lcg_matrix`` for a broadcast of
-    learned centroids without changing the plan).
+    dot product — against TRAINED centroids when ``centroids`` (a k×d
+    numpy array / nested list, e.g. from ``train_ivf_centroids``) is given,
+    else the deterministic LCG matrix (the oracle-checkable stand-in).
+    Trained centroids ride into the kernel via closure capture → Spark
+    broadcast; the plan is identical either way.
 
     Arrow kernel: batch matmul + stable per-row argsort (ties → smaller
     centroid id, matching the oracle's ``ORDER BY dot DESC, k ASC``) — no
@@ -266,14 +269,15 @@ def ivf_assign(
     import pandas as pd
 
     id_type = df.schema[id_col].dataType.simpleString()
+    fixed = None if centroids is None else np.asarray(centroids, dtype=np.float64)
 
     def kernel(batches):
-        C = None
+        C = fixed
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if C is None or C.shape[1] != X.shape[1]:
+            if C is None or (fixed is None and C.shape[1] != X.shape[1]):
                 C = _lcg_matrix(n_centroids, X.shape[1], stride=997, offset=54321)
             dots = X @ C.T  # (n, n_centroids)
             # stable argsort on -dot keeps ascending k among ties
@@ -293,6 +297,76 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """SPHERICAL k-means over the embedding column — real trained centroids
+    for the IVF index (the LCG matrix is only the oracle-checkable
+    stand-in).  Returns a k×d numpy array of UNIT centroids for
+    ``ivf_assign``/``ivf_ann_topk``'s ``centroids`` argument.
+
+    Spherical (cosine) k-means is the consistent choice here because both
+    assignment and search rank by dot product: with unit centroids,
+    argmax_j x·c_j IS the cosine-nearest centroid for every x, and the
+    mean-then-renormalize update monotonically improves the spherical
+    objective Σ max_j cos(x, c_j).
+
+    Spark-first iteration: assignment is the existing Arrow matmul kernel;
+    the centroid update is ONE groupBy aggregation per iteration —
+    ``posexplode`` to (centroid, dim, x) then avg, where map-side partial
+    aggregation bounds the shuffle at partitions×k×d rows no matter how
+    many vectors stream through.  Only k×d floats ever reach the driver
+    (the standard IVF training contract; at 65536×768 that is ~200 MB —
+    cache ``df`` before calling, every iteration scans it).
+
+    Deterministic: init from the k data vectors with the smallest
+    xxhash64(id) — a pseudo-random deterministic sample executed as a
+    distributed top-k (TakeOrderedAndProject: per-partition heads + driver
+    merge of k rows, no global sort materialization) — padded with LCG rows
+    if the input has fewer than k vectors; argmax ties to the smaller
+    centroid id; empty clusters keep their previous centroid.
+    """
+    import numpy as np
+
+    def _unit(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        return M / np.where(n == 0, 1.0, n)
+
+    seed_rows = (
+        df.select(vec_col, F.xxhash64(F.col(id_col)).alias("__h"))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("train_ivf_centroids: empty input")
+    dim = len(seed_rows[0][vec_col])
+    C = _lcg_matrix(n_centroids, dim, stride=997, offset=54321)
+    for i, r in enumerate(seed_rows):
+        C[i] = np.asarray(r[vec_col], dtype=np.float64)
+    C = _unit(C)
+    for _ in range(n_iters):
+        assign = ivf_assign(
+            df, n_centroids, id_col, vec_col, rank_limit=1, centroids=C
+        ).select(F.col("id").alias(id_col), "centroid")
+        means = (
+            df.join(assign, id_col)
+            .select("centroid", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
+            .groupBy("centroid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            newC[r["centroid"], r["pos"]] = r["m"]
+        C = _unit(newC)
+    return C
+
+
 def ivf_ann_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -301,6 +375,7 @@ def ivf_ann_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """(q_id, c_id, cosine, rank): IVF search — candidates live in their
     single nearest centroid's inverted list; each query probes its
@@ -310,7 +385,9 @@ def ivf_ann_topk(
     the probe is an equi-join on centroid id (no cross product); recall
     trades against n_probe exactly like a trained IVF index.
     """
-    assign = ivf_assign(df, n_centroids, id_col, vec_col, rank_limit=1)
+    assign = ivf_assign(
+        df, n_centroids, id_col, vec_col, rank_limit=1, centroids=centroids
+    )
     cand = with_norm(df, vec_col).join(
         assign.withColumnRenamed("id", id_col).select(id_col, "centroid"), id_col
     ).select(
@@ -319,7 +396,10 @@ def ivf_ann_topk(
         F.col("_norm").alias("c_n"),
         "centroid",
     )
-    probes = ivf_assign(queries, n_centroids, id_col, vec_col, rank_limit=n_probe)
+    probes = ivf_assign(
+        queries, n_centroids, id_col, vec_col, rank_limit=n_probe,
+        centroids=centroids,
+    )
     qry = with_norm(queries, vec_col).join(
         probes.withColumnRenamed("id", id_col).select(id_col, "centroid"), id_col
     ).select(

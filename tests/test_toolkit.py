@@ -300,6 +300,59 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_trained_ivf_centroids(spark):
+    """Lloyd-trained centroids: (a) the k-means objective (inertia) is
+    non-increasing across training runs of growing iteration count, and
+    (b) on well-separated clustered data the trained IVF index achieves
+    full recall of the exact top-k while probing 1 centroid."""
+    import numpy as np
+
+    from graph_computing_go_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0], [0, 0, 0, 10.0]]
+    )
+    pts = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(20, 4)) for c in centers]
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+        "vec_id long, embedding array<float>",
+    ).cache()
+
+    def spherical_obj(C):
+        cos = (pts @ C.T) / np.linalg.norm(pts, axis=1, keepdims=True)
+        return float(cos.max(axis=1).sum())
+
+    c1 = train_ivf_centroids(emb, n_centroids=4, n_iters=1)
+    c5 = train_ivf_centroids(emb, n_centroids=4, n_iters=5)
+    assert spherical_obj(c5) >= spherical_obj(c1) - 1e-9
+    # training must place the index's centroids strictly better than the
+    # untrained LCG stand-in on clustered data
+    from graph_computing_go_spark.operators.similarity import _lcg_matrix
+
+    lcg = _lcg_matrix(4, 4, stride=997, offset=54321)
+    lcg = lcg / np.linalg.norm(lcg, axis=1, keepdims=True)
+    assert spherical_obj(c5) > spherical_obj(lcg)
+
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        (r["q_id"], r["c_id"]) for r in cosine_topk(emb, queries, k=4).collect()
+    }
+    trained = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_ann_topk(
+            emb, queries, k=4, n_centroids=4, n_probe=1, centroids=c5
+        ).collect()
+    }
+    assert trained == exact  # same-cluster neighbors -> full recall at probe 1
+
+
 def test_watermarked_sessionization_out_of_order_batches(spark, tmp_path):
     """Native session_window + watermark handles cross-batch stragglers BY
     SPEC: an out-of-order event arriving in a later micro-batch bridges two
