@@ -79,37 +79,17 @@ def google_distance(
             .agg(F.count("*").alias("inter"))
         )
     else:
-        # per-src fanout k → bucket count m = ceil(k/chunk) (1 for non-hubs)
-        fan = inedges.groupBy("src").agg(
-            F.ceil(F.count("*") / F.lit(chunk)).cast("int").alias("m")
-        )
-        e = inedges.join(fan, "src").withColumn(
-            "bkt", F.pmod(F.xxhash64("dst"), F.col("m")).cast("int")
-        )
-        grid = e.withColumn(
-            "x", F.explode(F.sequence(F.lit(0), F.col("m") - 1))
-        ).select(
-            "src",
-            F.least("bkt", "x").alias("gi"),
-            F.greatest("bkt", "x").alias("gj"),
-            "bkt",
-            "dst",
-        )
-        l = grid.select(
-            "src", "gi", "gj", F.col("bkt").alias("ba"), F.col("dst").alias("a")
-        )
-        r = grid.select(
-            "src", "gi", "gj", F.col("bkt").alias("bb"), F.col("dst").alias("b")
-        )
+        # the shared bucket-pair grid (operators/dedup.grid_self_pairs —
+        # originally written here, now generalized): per-src fanout k →
+        # m = ceil(k/chunk) buckets, pairs keyed (src, gi, gj), each pair
+        # counted only in its own bucket-pair group, and the join key
+        # explicitly repartitioned so AQE cannot input-size-coalesce the
+        # pair-generating join
+        from graph_computing_go_spark.operators.dedup import grid_self_pairs
+
         pairs = (
-            l.join(r, ["src", "gi", "gj"])
-            .filter(
-                (F.col("a") < F.col("b"))
-                # a pair counts only in the ONE group equal to its own bucket
-                # pair — otherwise same-bucket pairs surface in m groups
-                & (F.col("gi") == F.least("ba", "bb"))
-                & (F.col("gj") == F.greatest("ba", "bb"))
-            )
+            grid_self_pairs(inedges, ["src"], "dst", chunk)
+            .select(F.col("dst_a").alias("a"), F.col("dst_b").alias("b"))
             .groupBy("a", "b")
             .agg(F.count("*").alias("inter"))
         )

@@ -46,6 +46,19 @@ def test_global_row_number_empty(spark):
     assert global_row_number(df, [F.asc("id")], "rank").count() == 0
 
 
+def test_global_row_number_single_partition_guarded(spark):
+    """num_partitions=1 degenerate branch: correct ranks, and the folded
+    2^33 ordinal guard does not perturb them (it adds a coalesced 0)."""
+    df = spark.createDataFrame([(30,), (10,), (20,)], "id long")
+    got = sorted(
+        tuple(r)
+        for r in global_row_number(
+            df, [F.desc("id")], "rank", num_partitions=1
+        ).collect()
+    )
+    assert got == [(10, 3), (20, 2), (30, 1)]
+
+
 def _ngd_python(edges, core, n):
     """Reference double-loop (wikipediaGoogleDistance.go:91-136) in python."""
     insets = {c: set() for c in core}
