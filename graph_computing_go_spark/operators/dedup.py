@@ -194,7 +194,9 @@ def ngram_jaccard_pairs(
     ``df_cap`` drops shingles appearing in more than that many documents
     before the self-join (hub-shingle mitigation; the quadratic blowup of a
     stopword shingle is the same hub problem as NGD's hub in-neighbors,
-    SURVEY.md §4 skew row).
+    SURVEY.md §4 skew row).  Independently of the cap, the self-join runs
+    through the bucket-pair grid so even a surviving hub shingle (or a
+    df_cap=None run) never owns its k²/2 pairs in one task.
     """
     sh = shingles(df, id_col, text_col, k)
     if df_cap is not None:
@@ -203,11 +205,9 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    l = sh.select("shingle", F.col("id").alias("a"))
-    r = sh.select("shingle", F.col("id").alias("b"))
     inter = (
-        l.join(r, "shingle")
-        .filter(F.col("a") < F.col("b"))
+        grid_self_pairs(sh, ["shingle"], "id")
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
