@@ -181,6 +181,77 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    min_jaccard: float = 0.8,
+    chunk: int = 1024,
+    max_iter: int = 50,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering — the standard training-data
+    dedup pipeline at 100 TB: MinHash/LSH candidate pairs → exact
+    shingle-Jaccard verification restricted to the candidates → min-label
+    connected components over the verified pairs → canonical survivor per
+    cluster.
+
+    Returns (id, canonical_id, cluster_size, is_canonical) with ONE row per
+    input document (singletons map to themselves, cluster_size 1).
+
+    Scale shape: verification joins the candidate pairs back to the shingle
+    table twice (never the all-pairs shingle self-join — the intermediate is
+    |candidates| × avg-shingles rows); transitive closure is the iterative
+    min-label CC engine, so a dup "chain" (A≈B≈C but A≉C) lands in one
+    cluster exactly like a clique does, with the canonical = min id of the
+    whole component — deterministic under any partitioning.
+    """
+    from graph_computing_go_spark.plans.components import connected_components
+
+    sh = shingles(df, id_col, text_col, k).cache()
+    bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
+    cand = (
+        grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .distinct()
+    )
+    # exact Jaccard, candidates only: pairs ⋈ a-shingles ⋈ b-shingles
+    inter = (
+        cand.join(sh.select(F.col("id").alias("a"), "shingle"), "a")
+        .join(sh.select(F.col("id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    verified = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+        .filter(
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            >= min_jaccard
+        )
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comps, _ = connected_components(verified, max_iter=max_iter)
+    sh.unpersist()  # CC materialized its edge cache; the shingles are spent
+    mapping = (
+        df.select(F.col(id_col).alias("id"))
+        .join(comps, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("canonical_id"))
+    )
+    csize = mapping.groupBy("canonical_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return mapping.join(csize, "canonical_id").select(
+        "id",
+        "canonical_id",
+        "cluster_size",
+        (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

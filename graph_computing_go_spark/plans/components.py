@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_computing_go_spark.plans.pagerank import vertices_of
+from graph_computing_go_spark.plans.pagerank import packed_adjacency, vertices_of
 from graph_computing_go_spark.plans.superstep import SuperstepRunner
 
 
@@ -40,8 +40,14 @@ def connected_components(
     max_iter: int = 100,
     runner: SuperstepRunner | None = None,
     resume: bool = False,
+    packed: bool = True,
 ) -> tuple[DataFrame, int]:
-    """Returns ((id, component) DataFrame, iterations_run)."""
+    """Returns ((id, component) DataFrame, iterations_run).
+
+    ``packed=True`` swaps the flat symmetrized edge cache for the CSR-style
+    packed adjacency (``plans.pagerank.packed_adjacency``); results are
+    identical (min is idempotent, duplicate edges in the arrays are free).
+    """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # cache PRE-PARTITIONED on the join key: every superstep's labels⋈edges
@@ -49,7 +55,11 @@ def connected_components(
     # (vertex-grain) label side and the gather shuffle move per superstep —
     # measured 1.8× faster supersteps on the 120M-row symmetrized bench
     # graph vs a plainly-cached table (PERF.md §6)
-    ud = symmetrize(edges, dedup=False).repartition(n_part, "src").cache()
+    sym = symmetrize(edges, dedup=False)
+    if packed:
+        ud = packed_adjacency(sym, n_part).cache()
+    else:
+        ud = sym.repartition(n_part, "src").cache()
     ud.count()
     verts = vertices_of(edges).cache()
 
@@ -61,10 +71,15 @@ def connected_components(
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         lab = labels.select("id", "component")
-        nbr_min = (
-            ud.join(lab.select(F.col("id").alias("src"), "component"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("nbr_min"))
+        gathered = ud.join(
+            lab.select(F.col("id").alias("src"), "component"), "src"
+        )
+        if packed:
+            gathered = gathered.select(
+                "component", F.explode("dsts").alias("dst")
+            )
+        nbr_min = gathered.groupBy(F.col("dst").alias("id")).agg(
+            F.min("component").alias("nbr_min")
         )
         return lab.join(nbr_min, "id", "left").select(
             "id",
@@ -81,7 +96,9 @@ def connected_components(
             F.sum((F.col("component") != F.col("prev")).cast("long")).alias("c")
         ).collect()[0]["c"]
         runner.last_delta = float(changed or 0)  # changed-rows → metrics
-        return changed == 0
+        # sum over an EMPTY state is NULL — an edgeless graph is converged,
+        # not an infinite loop (dedup_clusters with zero verified pairs)
+        return (changed or 0) == 0
 
     state, iters = runner.run(
         "connected_components", state0, step, converged, max_iter=max_iter,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from graph_computing_go_spark.plans.components import symmetrize
-from graph_computing_go_spark.plans.pagerank import vertices_of
+from graph_computing_go_spark.plans.pagerank import packed_adjacency, vertices_of
 from graph_computing_go_spark.plans.superstep import SuperstepRunner
 
 
@@ -33,13 +33,22 @@ def label_propagation(
     exact_iters: int | None = None,
     runner: SuperstepRunner | None = None,
     resume: bool = False,
+    packed: bool = True,
 ) -> tuple[DataFrame, int]:
-    """Returns ((id, label) DataFrame, iterations_run)."""
+    """Returns ((id, label) DataFrame, iterations_run).
+
+    ``packed=True`` uses the CSR-style packed adjacency; vote counts are
+    preserved because symmetrize(dedup=True) runs BEFORE packing and
+    collect_list keeps every (deduplicated) edge."""
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # distinct() leaves hash(src,dst) partitioning — re-key to hash(src) so
     # the per-superstep join reuses the cached layout (see components.py)
-    ud = symmetrize(edges).repartition(n_part, "src").cache()
+    sym = symmetrize(edges)
+    if packed:
+        ud = packed_adjacency(sym, n_part).cache()
+    else:
+        ud = sym.repartition(n_part, "src").cache()
     ud.count()
     verts = vertices_of(edges).cache()
     state0 = verts.select(
@@ -48,10 +57,15 @@ def label_propagation(
 
     def step(labels: DataFrame, _i: int) -> DataFrame:
         lab = labels.select("id", "label")
-        freq = (
-            ud.join(lab.select(F.col("id").alias("src"), "label"), "src")
-            .groupBy(F.col("dst").alias("id"), "label")
-            .agg(F.count("*").alias("c"))
+        gathered = ud.join(
+            lab.select(F.col("id").alias("src"), "label"), "src"
+        )
+        if packed:
+            gathered = gathered.select(
+                "label", F.explode("dsts").alias("dst")
+            )
+        freq = gathered.groupBy(F.col("dst").alias("id"), "label").agg(
+            F.count("*").alias("c")
         )
         w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
         best = (

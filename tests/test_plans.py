@@ -167,6 +167,28 @@ def test_pagerank_salted_equals_plain(spark):
         assert math.isclose(p[v], s[v], abs_tol=1e-12)
 
 
+def test_pagerank_packed_equals_plain(spark):
+    # chunk=3 forces multi-chunk packed rows so the per-src deg vs per-chunk
+    # array-length distinction is actually exercised
+    import importlib
+
+    pr_mod = importlib.import_module("graph_computing_go_spark.plans.pagerank")
+
+    df = edge_df(spark, random_graph(30, 90))
+    plain, _ = pagerank(df, tol=0.0, max_iter=8, packed=False)
+    orig = pr_mod.packed_adjacency
+    pr_mod.packed_adjacency = lambda e, n, chunk=4096: orig(e, n, chunk=3)
+    try:
+        packed, _ = pagerank(df, tol=0.0, max_iter=8, packed=True)
+    finally:
+        pr_mod.packed_adjacency = orig
+    p = {r["id"]: r["rank"] for r in plain.collect()}
+    q = {r["id"]: r["rank"] for r in packed.collect()}
+    assert p.keys() == q.keys()
+    for v in p:
+        assert math.isclose(p[v], q[v], abs_tol=1e-12)
+
+
 @pytest.mark.parametrize("edges", [TWO_COMPONENTS, STAR, random_graph(40, 60)])
 def test_connected_components_exact(spark, edges):
     got, _ = connected_components(edge_df(spark, edges))
@@ -174,9 +196,24 @@ def test_connected_components_exact(spark, edges):
     assert {r["id"]: r["component"] for r in got.collect()} == want
 
 
+@pytest.mark.parametrize("edges", [TWO_COMPONENTS, random_graph(40, 60)])
+def test_connected_components_packed_equals_plain(spark, edges):
+    got, _ = connected_components(edge_df(spark, edges), packed=False)
+    assert {r["id"]: r["component"] for r in got.collect()} == cc_oracle(edges)
+
+
 @pytest.mark.parametrize("edges", [TRI_FAN, random_graph(40, 120)])
 def test_label_propagation_exact(spark, edges):
     got, _ = label_propagation(edge_df(spark, edges), exact_iters=4)
+    want = lp_oracle(edges, exact_iters=4)
+    assert {r["id"]: r["label"] for r in got.collect()} == want
+
+
+def test_label_propagation_flat_equals_packed_default(spark):
+    # the exact_iters oracle test above runs the packed default; this pins
+    # the flat layout to the same python oracle so both layouts stay covered
+    edges = random_graph(40, 120)
+    got, _ = label_propagation(edge_df(spark, edges), exact_iters=4, packed=False)
     want = lp_oracle(edges, exact_iters=4)
     assert {r["id"]: r["label"] for r in got.collect()} == want
 

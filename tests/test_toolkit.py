@@ -13,6 +13,7 @@ import math
 import pytest
 
 from graph_computing_go_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -86,6 +87,40 @@ def test_minhash_lsh_finds_dups(spark, docs):
     # md5 — just assert presence keys are a subset of high-jaccard pairs)
     for (a, b) in cands:
         assert (a, b) in {(1, 2), (1, 3), (2, 3)}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    """LSH candidates → exact-Jaccard verify → CC → canonical pick, one row
+    per input doc; transitivity via the component, singletons map to self."""
+    rows = [
+        (11, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (12, "alpha beta gamma delta epsilon zeta eta theta iota"),  # exact
+        (13, "alpha beta gamma delta epsilon zeta eta theta kappa"),  # near
+        (20, "one two three four five six seven eight nine ten"),
+        (21, "one two three four five six seven eight nine ten"),  # exact
+        (30, "completely different words entirely unrelated text here"),
+        (31, "le chat est sur la table et le chien est pour"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["canonical_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(df, min_jaccard=0.5, rows_per_band=2).collect()
+    }
+    assert got == {
+        11: (11, 3, True),
+        12: (11, 3, False),
+        13: (11, 3, False),
+        20: (20, 2, True),
+        21: (20, 2, False),
+        30: (30, 1, True),
+        31: (31, 1, True),
+    }
+    # all-distinct input: zero verified pairs, CC converges on the empty
+    # graph immediately, every doc is its own canonical
+    solo = df.filter("doc_id in (30, 31)")
+    assert {
+        r["id"]: r["canonical_id"] for r in dedup_clusters(solo).collect()
+    } == {30: 30, 31: 31}
 
 
 def test_grid_self_pairs_exact_vs_plain(spark):
