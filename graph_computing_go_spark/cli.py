@@ -22,6 +22,7 @@ Reference command → subcommand map:
 | `oae -t tddc` per-(year, discipline) lifecycle (openAlexTopDsiplineDistanceComplexity.go) | `tddc` |
 | `wikipediaInDegree` (cmd/wikipediaInDegree.go) | `in-degree` |
 | (north rule additions) | `pagerank`, `connected-components`, `label-propagation`, `triangles` |
+| (training-data additions) | `dedup` (near-dup clustering over a document table) |
 | `extractWikipediaDump` (ingest) | `ingest-repos` |
 
 Inputs are parquet paths (edge table ``src,dst``; vertex tables as noted);
@@ -286,6 +287,27 @@ def cmd_label_propagation(args):
     )
 
 
+def cmd_dedup(args):
+    from graph_computing_go_spark.operators.dedup import dedup_clusters
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    mapping = dedup_clusters(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_jaccard=args.min_jaccard,
+        n_hashes=args.n_hashes,
+        rows_per_band=args.rows_per_band,
+    ).cache()
+    write_result(mapping, args.output, "dedup_clusters")
+    kept = mapping.filter("is_canonical").count()
+    rows = mapping.count()
+    mapping.unpersist()
+    _emit(cmd=args.cmd, rows=rows, kept=kept)
+
+
 def cmd_triangles(args):
     from graph_computing_go_spark.plans import triangles_per_vertex
     from graph_computing_go_spark.sources.io import write_result
@@ -392,6 +414,16 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--degree-oriented", action="store_true")
     sp.set_defaults(fn=cmd_triangles)
+
+    sp = sub.add_parser("dedup")
+    sp.add_argument("--docs", required=True, help="parquet document table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-jaccard", type=float, default=0.8)
+    sp.add_argument("--n-hashes", type=int, default=16)
+    sp.add_argument("--rows-per-band", type=int, default=4)
+    sp.set_defaults(fn=cmd_dedup)
 
     sp = sub.add_parser("ingest-repos")
     sp.add_argument("--repos", required=True)

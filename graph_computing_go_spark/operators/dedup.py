@@ -191,26 +191,53 @@ def dedup_clusters(
     min_jaccard: float = 0.8,
     chunk: int = 1024,
     max_iter: int = 50,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """End-to-end near-duplicate clustering — the standard training-data
-    dedup pipeline at 100 TB: MinHash/LSH candidate pairs → exact
-    shingle-Jaccard verification restricted to the candidates → min-label
-    connected components over the verified pairs → canonical survivor per
-    cluster.
+    dedup pipeline at 100 TB: exact-duplicate pre-collapse (sha2) →
+    MinHash/LSH candidate pairs → exact shingle-Jaccard verification
+    restricted to the candidates → min-label connected components over the
+    verified pairs → canonical survivor per cluster.
 
     Returns (id, canonical_id, cluster_size, is_canonical) with ONE row per
     input document (singletons map to themselves, cluster_size 1).
 
-    Scale shape: verification joins the candidate pairs back to the shingle
-    table twice (never the all-pairs shingle self-join — the intermediate is
-    |candidates| × avg-shingles rows); transitive closure is the iterative
-    min-label CC engine, so a dup "chain" (A≈B≈C but A≉C) lands in one
-    cluster exactly like a clique does, with the canonical = min id of the
-    whole component — deterministic under any partitioning.
+    Scale shape: ``collapse_exact`` (default) runs the near-dup stages on
+    ONE representative per distinct content — at 100 TB a boilerplate
+    mega-cluster is mostly byte-identical, so this removes its O(k²)
+    candidate/verified-pair blowup at the root (each representative is the
+    min id of its exact group, so the final canonical is still the global
+    min id of the merged cluster); `grid_self_pairs` bounds whatever
+    near-identical-but-not-equal variants remain.  Verification joins the
+    candidate pairs back to the shingle table twice (never the all-pairs
+    shingle self-join — the intermediate is |candidates| × avg-shingles
+    rows); transitive closure is the iterative min-label CC engine, so a
+    dup "chain" (A≈B≈C but A≉C) lands in one cluster exactly like a clique
+    does, with the canonical = min id of the whole component —
+    deterministic under any partitioning.
     """
     from graph_computing_go_spark.plans.components import connected_components
 
-    sh = shingles(df, id_col, text_col, k).cache()
+    if collapse_exact:
+        hashed = df.select(
+            F.col(id_col).alias("__orig_id"),
+            F.col(text_col).alias(text_col),
+            F.sha2(F.col(text_col), 256).alias("__h"),
+        )
+        reps = (
+            hashed.groupBy("__h")
+            .agg(
+                F.min("__orig_id").alias(id_col),
+                F.first(text_col).alias(text_col),
+            )
+        ).cache()
+        work = reps.select(id_col, text_col)
+    else:
+        hashed = None
+        reps = None
+        work = df
+
+    sh = shingles(work, id_col, text_col, k).cache()
     bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
     cand = (
         grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
@@ -236,11 +263,25 @@ def dedup_clusters(
     )
     comps, _ = connected_components(verified, max_iter=max_iter)
     sh.unpersist()  # CC materialized its edge cache; the shingles are spent
-    mapping = (
-        df.select(F.col(id_col).alias("id"))
-        .join(comps, "id", "left")
-        .select("id", F.coalesce("component", F.col("id")).alias("canonical_id"))
-    )
+    if collapse_exact:
+        # original id → its exact-group representative → the rep's component
+        rep_of = hashed.join(
+            reps.select("__h", F.col(id_col).alias("__rep")), "__h"
+        ).select(F.col("__orig_id").alias("id"), "__rep")
+        mapping = (
+            rep_of.join(comps.withColumnRenamed("id", "__rep"), "__rep", "left")
+            .select(
+                "id", F.coalesce("component", F.col("__rep")).alias("canonical_id")
+            )
+        )
+    else:
+        mapping = (
+            df.select(F.col(id_col).alias("id"))
+            .join(comps, "id", "left")
+            .select(
+                "id", F.coalesce("component", F.col("id")).alias("canonical_id")
+            )
+        )
     csize = mapping.groupBy("canonical_id").agg(
         F.count("*").alias("cluster_size")
     )

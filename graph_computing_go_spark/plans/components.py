@@ -104,4 +104,6 @@ def connected_components(
         "connected_components", state0, step, converged, max_iter=max_iter,
         resume=resume,
     )
+    ud.unpersist()  # final state is localCheckpointed; retire the edge cache
+    verts.unpersist()
     return state.select("id", "component"), iters

@@ -98,4 +98,6 @@ def label_propagation(
         "label_propagation", state0, step, converged, max_iter=max_iter,
         resume=resume,
     )
+    ud.unpersist()  # final state is localCheckpointed; retire the edge cache
+    verts.unpersist()
     return state.select("id", "label"), iters

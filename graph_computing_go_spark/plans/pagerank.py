@@ -197,4 +197,11 @@ def pagerank(
     state, iters = runner.run(
         "pagerank", state0, step, converged, max_iter=max_iter, resume=resume
     )
+    # the final state is localCheckpointed — retire the superstep caches so
+    # long sessions (test suites, multi-algorithm pipelines) don't accrete
+    # dead executor memory
+    links.unpersist()
+    verts.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
     return state.select("id", "rank"), iters

@@ -16,7 +16,9 @@ def spark():
         app_name="gcgs-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "4g"},
+        # 6g: the wide tddc lifecycle plan OOMs at 4g once ~90 tests of
+        # codegen classes and checkpoint blocks have accreted in the session
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "6g"},
     )
     yield s
     s.stop()

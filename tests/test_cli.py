@@ -61,6 +61,29 @@ def test_cli_pagerank_and_resume(spark, graph_dirs, capsys):
     assert res2["iterations"] == 8
 
 
+def test_cli_dedup_clusters(spark, graph_dirs, capsys):
+    base, _, _ = graph_dirs
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            (2, "alpha beta gamma delta epsilon zeta eta"),
+            (3, "totally different unrelated words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(base / "docs")
+    docs.write.parquet(dpath)
+    out = str(base / "wh_dedup")
+    res = _run_inproc(
+        capsys,
+        ["dedup", "--docs", dpath, "--output", out, "--min-jaccard", "0.5"],
+    )
+    assert res["rows"] == 3 and res["kept"] == 2
+    mapping = spark.read.parquet(f"{out}/dedup_clusters")
+    got = {r["id"]: r["canonical_id"] for r in mapping.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
+
+
 def test_cli_degree_stats_and_triangles(spark, graph_dirs, capsys):
     base, epath, _ = graph_dirs
     out = str(base / "wh2")

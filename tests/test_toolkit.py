@@ -115,6 +115,15 @@ def test_dedup_clusters_end_to_end(spark):
         30: (30, 1, True),
         31: (31, 1, True),
     }
+    # the exact pre-collapse (default) must not change the clustering —
+    # only the work done to find it
+    no_collapse = {
+        r["id"]: (r["canonical_id"], r["cluster_size"], r["is_canonical"])
+        for r in dedup_clusters(
+            df, min_jaccard=0.5, rows_per_band=2, collapse_exact=False
+        ).collect()
+    }
+    assert no_collapse == got
     # all-distinct input: zero verified pairs, CC converges on the empty
     # graph immediately, every doc is its own canonical
     solo = df.filter("doc_id in (30, 31)")
