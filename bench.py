@@ -220,6 +220,37 @@ def main() -> None:
     ).count()
     times["scale_lsh_megadup"] = round(time.time() - t0, 3)
 
+    # ---- end-to-end near-dup clustering: the same 10k byte-identical
+    # mega-cluster plus 2k near-variant docs through the full
+    # dedup_clusters pipeline.  The exact pre-collapse reduces the 10k
+    # identical docs to ONE representative before any shingling, so the
+    # pipeline's cost is driven by the genuine near-dup work (the %97
+    # template families among the unique docs), not the k²/2 pair blowup
+    # of the byte-identical cluster.
+    from graph_computing_go_spark.operators.dedup import dedup_clusters
+
+    t0 = time.time()
+    variant_docs = spark.range(20_000, 22_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(
+                "license boilerplate repeated verbatim in every single file tail "
+            ),
+            (F.col("id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    dedup_mapping = dedup_clusters(
+        dup_docs.unionByName(uniq_docs).unionByName(variant_docs).repartition(
+            max(cpus * 2, 8)
+        ),
+        n_hashes=8,
+        rows_per_band=4,
+        chunk=512,
+        min_jaccard=0.5,
+    )
+    dedup_kept = dedup_mapping.filter("is_canonical").count()
+    times["scale_dedup_clusters"] = round(time.time() - t0, 3)
+
     total = round(sum(times.values()), 3)
     # primary metric: edges processed per second across all PR+CC supersteps
     # on the scale graph; one "executor" here is the whole local[N] JVM.
@@ -244,6 +275,7 @@ def main() -> None:
                 "ingest_edges": ingest_edges,
                 "ngd_megahub_pairs": ngd_pairs,
                 "lsh_megadup_pairs": megadup_pairs,
+                "dedup_clusters_kept": dedup_kept,
                 "steady_superstep_eps": steady_eps,
                 "pr_superstep_ms": [m["wall_ms"] for m in r_pr.metrics],
                 "cc_superstep_ms": [m["wall_ms"] for m in r_cc.metrics],
