@@ -261,7 +261,10 @@ def dedup_clusters(
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    comps, _ = connected_components(verified, max_iter=max_iter)
+    # jump=True: a duplicate CHAIN (A≈B≈C≈… with no short cuts) has
+    # diameter = chain length, so plain min-label relaxation would need one
+    # superstep per link; pointer jumping converges in O(log chain) rounds.
+    comps, _ = connected_components(verified, max_iter=max_iter, jump=True)
     sh.unpersist()  # CC materialized its edge cache; the shingles are spent
     if collapse_exact:
         # original id → its exact-group representative → the rep's component

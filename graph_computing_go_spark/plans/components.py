@@ -41,12 +41,30 @@ def connected_components(
     runner: SuperstepRunner | None = None,
     resume: bool = False,
     packed: bool = True,
+    jump: bool = False,
 ) -> tuple[DataFrame, int]:
     """Returns ((id, component) DataFrame, iterations_run).
 
     ``packed=True`` swaps the flat symmetrized edge cache for the CSR-style
     packed adjacency (``plans.pagerank.packed_adjacency``); results are
     identical (min is idempotent, duplicate edges in the arrays are free).
+
+    ``jump=True`` appends a pointer-jumping phase to every superstep
+    (``component := component's current component`` — one extra vertex-grain
+    self-join of the state), which doubles the label-propagation distance
+    per round: convergence drops from O(diameter) to O(log diameter)
+    supersteps.  Exactness is unchanged — both phases are monotone
+    non-increasing per vertex and preserve "label is a member of my
+    component", so a full-step fixed point is a relax fixed point, i.e. the
+    classic min-id labeling (pinned jump==plain by test).
+
+    Default False because the jump join keys on ``component``: a link graph
+    has a GIANT component, and once most of its vertices carry the same
+    label they all hash to one task — measured on the 60M-edge bench graph
+    (giant component): plain 6 iters / 64 s warm, jump 4 iters / 117 s
+    (PERF.md §9).  Use jump=True when components are size-bounded but the
+    diameter is not — duplicate CHAINS in dedup_clusters, path-ish
+    subgraphs: a 64-vertex path converges in 7 supersteps vs 64.
     """
     spark = edges.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -81,12 +99,27 @@ def connected_components(
         nbr_min = gathered.groupBy(F.col("dst").alias("id")).agg(
             F.min("component").alias("nbr_min")
         )
-        return lab.join(nbr_min, "id", "left").select(
+        relaxed = lab.join(nbr_min, "id", "left").select(
             "id",
             F.least(
                 "component", F.coalesce("nbr_min", F.col("component"))
             ).alias("component"),
             F.col("component").alias("prev"),
+        )
+        if not jump:
+            return relaxed
+        # pointer jump: component := component's component.  Every label IS
+        # a live vertex id (labels start as ids and move by min over ids),
+        # so the lookup always matches; left+coalesce is belt-and-braces.
+        # prev stays the PRE-relax label so the convergence count sees any
+        # change made by either phase.
+        parent = relaxed.select(
+            F.col("id").alias("component"), F.col("component").alias("__pc")
+        )
+        return relaxed.join(parent, "component", "left").select(
+            "id",
+            F.coalesce("__pc", F.col("component")).alias("component"),
+            "prev",
         )
 
     runner = runner or SuperstepRunner(spark)

@@ -202,6 +202,20 @@ def test_connected_components_packed_equals_plain(spark, edges):
     assert {r["id"]: r["component"] for r in got.collect()} == cc_oracle(edges)
 
 
+def test_connected_components_pointer_jump(spark):
+    # exactness: jump == relax-only labeling on a random graph
+    edges = random_graph(40, 60)
+    got, _ = connected_components(edge_df(spark, edges), jump=True)
+    assert {r["id"]: r["component"] for r in got.collect()} == cc_oracle(edges)
+    # O(log diameter): a 64-vertex path would take 64 relax-only supersteps
+    # (one hop of label travel each); pointer jumping doubles the travel
+    # distance per round
+    path = [(i, i + 1) for i in range(63)]
+    got, iters = connected_components(edge_df(spark, path), jump=True)
+    assert {r["id"]: r["component"] for r in got.collect()} == cc_oracle(path)
+    assert iters <= 9
+
+
 @pytest.mark.parametrize("edges", [TRI_FAN, random_graph(40, 120)])
 def test_label_propagation_exact(spark, edges):
     got, _ = label_propagation(edge_df(spark, edges), exact_iters=4)
