@@ -272,7 +272,9 @@ def cmd_connected_components(args):
 
     _iterative(
         args,
-        lambda e, **kw: connected_components(e, max_iter=args.max_iter, **kw),
+        lambda e, **kw: connected_components(
+            e, max_iter=args.max_iter, jump=args.jump, **kw
+        ),
         "connected_components",
     )
 
@@ -408,6 +410,11 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--alpha", type=float, default=0.85)
             sp.add_argument("--tol", type=float, default=1e-6)
             sp.add_argument("--salt-buckets", type=int, default=0)
+        if name == "connected-components":
+            # O(log diameter) pointer jumping — for size-bounded components
+            # with unbounded diameter, NOT for giant-component link graphs
+            # (PERF.md §9)
+            sp.add_argument("--jump", action="store_true")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("triangles")

@@ -219,22 +219,23 @@ def dedup_clusters(
     from graph_computing_go_spark.plans.components import connected_components
 
     if collapse_exact:
-        hashed = df.select(
+        # text never enters the collapse machinery: the only shuffled /
+        # cached artifact is the (sha2, rep_id) map, and representatives
+        # keep their full row via a semi-join (the semi-join's shuffle of
+        # df by id is one the shingle window needs anyway)
+        keys = df.select(
             F.col(id_col).alias("__orig_id"),
-            F.col(text_col).alias(text_col),
             F.sha2(F.col(text_col), 256).alias("__h"),
         )
-        reps = (
-            hashed.groupBy("__h")
-            .agg(
-                F.min("__orig_id").alias(id_col),
-                F.first(text_col).alias(text_col),
-            )
+        rep_ids = keys.groupBy("__h").agg(
+            F.min("__orig_id").alias("__rep")
         ).cache()
-        work = reps.select(id_col, text_col)
+        work = df.join(
+            rep_ids.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+        )
     else:
-        hashed = None
-        reps = None
+        keys = None
+        rep_ids = None
         work = df
 
     sh = shingles(work, id_col, text_col, k).cache()
@@ -268,9 +269,9 @@ def dedup_clusters(
     sh.unpersist()  # CC materialized its edge cache; the shingles are spent
     if collapse_exact:
         # original id → its exact-group representative → the rep's component
-        rep_of = hashed.join(
-            reps.select("__h", F.col(id_col).alias("__rep")), "__h"
-        ).select(F.col("__orig_id").alias("id"), "__rep")
+        rep_of = keys.join(rep_ids, "__h").select(
+            F.col("__orig_id").alias("id"), "__rep"
+        )
         mapping = (
             rep_of.join(comps.withColumnRenamed("id", "__rep"), "__rep", "left")
             .select(
@@ -288,12 +289,19 @@ def dedup_clusters(
     csize = mapping.groupBy("canonical_id").agg(
         F.count("*").alias("cluster_size")
     )
-    return mapping.join(csize, "canonical_id").select(
+    out = mapping.join(csize, "canonical_id").select(
         "id",
         "canonical_id",
         "cluster_size",
         (F.col("id") == F.col("canonical_id")).alias("is_canonical"),
     )
+    if collapse_exact:
+        # materialize the doc-grain numeric result (the same storage class
+        # the CC state already uses) so the rep-id cache can be retired —
+        # no internal cache outlives the call
+        out = out.localCheckpoint()
+        rep_ids.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(
