@@ -898,9 +898,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "simhash",
-    """WITH words AS (
+_SIMHASH_CTES = """words AS (
       SELECT id, md5(LOWER(w)) AS h FROM (
         SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS w
         FROM documents)),
@@ -911,11 +909,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 / POWER(2, 3 - j % 4)) AS BIGINT) % 2) * 2 - 1
                       AS vote
              FROM wb),
-    bitsum AS (SELECT id, j, SUM(vote) AS s FROM bits GROUP BY id, j)
-    SELECT id AS doc_id,
-           CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT)
-                         ELSE 0 END) AS BIGINT) AS simhash
-    FROM bitsum GROUP BY id""",
+    bitsum AS (SELECT id, j, SUM(vote) AS s FROM bits GROUP BY id, j),
+    sig AS (SELECT id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY id)"""
+
+# Oracle for the unregistered simhash_near_dup parity check
+# (tests/test_pruned_parity.py — the registry is pinned at 50).  All-pairs
+# hamming <= 3 is EXACTLY the operator's output: the segment pigeonhole
+# (max_hamming < n_segments) guarantees full recall, so the oracle verifies
+# both the hamming math and the zero-recall-loss claim of the bucketing.
+SIMHASH_NEAR_DUP_SQL = f"""WITH {_SIMHASH_CTES}
+    SELECT l.id AS a, r.id AS b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming,
+           LEAST(l.id, r.id) AS keep_id
+    FROM sig l JOIN sig r ON l.id < r.id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3, 4 segments) on documents —
+    unregistered (driver registry pinned at 50); oracled in
+    tests/test_pruned_parity.py."""
+    from graph_computing_go_spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, n_segments=4
+    ).withColumn("hamming", F.col("hamming").cast("long"))
+
+
+@register(
+    "simhash",
+    f"WITH {_SIMHASH_CTES}\n    SELECT id AS doc_id, simhash FROM sig",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures per document."""

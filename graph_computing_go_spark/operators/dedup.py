@@ -7,7 +7,8 @@ so the DuckDB oracles can verify them value-for-value:
 - exact: sha2(content) groupBy, keep min id (one shuffle at document grain);
 - MinHash + LSH: word-k-shingles → per-seed min of md5(seed||shingle) →
   band signatures → bucket join for candidate pairs;
-- SimHash: 32-bit signature from per-token md5 bits, majority vote per bit;
+- SimHash: 32-bit signature from per-token md5 bits, majority vote per bit,
+  plus segment-pigeonhole near-dup pairing (``simhash_near_dup``);
 - n-gram Jaccard: distinct-shingle self-join → |∩| / |∪| per pair;
 - embedding cosine near-dup lives in operators/similarity.py.
 
@@ -379,6 +380,75 @@ def simhash(
             )
         ).alias("simhash")
     )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n_segments: int = 4,
+    max_hamming: int = 3,
+    chunk: int = 1024,
+) -> DataFrame:
+    """(a, b, hamming, keep_id): SimHash near-duplicate pairs within
+    ``max_hamming`` bit flips — the pair-generation stage the other dedup
+    members already have (signature alone is not a dedup decision).
+
+    Candidate generation is the classic segment pigeonhole: split the
+    ``bits``-bit signature into ``n_segments`` equal segments; any pair with
+    hamming distance < n_segments must agree exactly on at least one segment
+    (max_hamming must be < n_segments for zero recall loss), so keying the
+    self-join on (segment index, segment value) finds every qualifying pair
+    without an all-pairs compare.  At 100 TB an empty-ish segment value (all
+    zeros — short/boilerplate docs) is a mega-bucket, so the self-join runs
+    through ``grid_self_pairs`` like every other band/bucket join here.
+    Verification is exact: bit_count(xor(sig_a, sig_b)) <= max_hamming,
+    deduped across segments (a close pair agrees on several).
+    """
+    if bits % n_segments:
+        raise ValueError("bits must be divisible by n_segments")
+    if max_hamming >= n_segments:
+        raise ValueError(
+            "max_hamming >= n_segments loses recall: a pair can spread its "
+            "flips so no segment matches"
+        )
+    seg_bits = bits // n_segments
+    sig = simhash(df, id_col, text_col, bits)
+    # segment value extracted arithmetically (floor-div + mod, exact in
+    # double up to 2^53) so the DuckDB oracle reproduces it verbatim
+    segs = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_segments - 1))).alias("seg"),
+    ).withColumn(
+        "seg_key",
+        F.floor(
+            F.col("simhash") / F.pow(F.lit(2.0), F.col("seg") * seg_bits)
+        ).cast("long")
+        % F.lit(2**seg_bits),
+    )
+    pairs = grid_self_pairs(
+        segs.select("seg", "seg_key", "id", "simhash"),
+        ["seg", "seg_key"],
+        "id",
+        chunk,
+    )
+    scored = (
+        pairs.select(
+            F.col("id_a").alias("a"),
+            F.col("id_b").alias("b"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
+        )
+        # a pair surfaces once per agreeing segment; hamming is a function of
+        # the full signatures so min() just collapses the duplicates
+        .groupBy("a", "b")
+        .agg(F.min("hamming").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return scored.select("a", "b", "hamming", F.least("a", "b").alias("keep_id"))
 
 
 def embedding_near_dup(

@@ -1,7 +1,8 @@
-"""DuckDB parity for the two functions pruned from the 50-query driver
-registry (VERDICT r2 missing #2): they stay fully oracle-checked here, just
-not driver-run.  Same compare discipline as tools/compare.py — sorted
-row-tuples after both engines apply identical rounding."""
+"""DuckDB parity for functions kept OUT of the 50-query driver registry
+(pruned per VERDICT r2 missing #2, or added after the registry was pinned):
+they stay fully oracle-checked here, just not driver-run.  Same compare
+discipline as tools/compare.py — sorted row-tuples after both engines apply
+identical rounding."""
 
 from __future__ import annotations
 
@@ -12,8 +13,10 @@ import pytest
 
 from graph_computing_go_spark.api import (
     REVENUE_PER_NATION_SQL,
+    SIMHASH_NEAR_DUP_SQL,
     SUBJECT_UNION_SQL,
     q_revenue_per_nation,
+    q_simhash_near_dup,
     q_subject_union_vertices,
 )
 
@@ -23,7 +26,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("nation", "customer", "orders", "lineitem"):
+    for t in ("nation", "customer", "orders", "lineitem", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -38,8 +41,9 @@ def duck():
     [
         (q_revenue_per_nation, REVENUE_PER_NATION_SQL),
         (q_subject_union_vertices, SUBJECT_UNION_SQL),
+        (q_simhash_near_dup, SIMHASH_NEAR_DUP_SQL),
     ],
-    ids=["revenue_per_nation", "subject_union_vertices"],
+    ids=["revenue_per_nation", "subject_union_vertices", "simhash_near_dup"],
 )
 def test_pruned_query_matches_oracle(spark, duck, fn, sql):
     got = sorted(map(tuple, fn(spark, SF_DIR).collect()))

@@ -175,6 +175,30 @@ def test_simhash_similarity_order(spark, docs):
     assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[4])
 
 
+def test_simhash_near_dup_matches_brute_force(spark, docs):
+    from graph_computing_go_spark.operators.dedup import simhash_near_dup
+
+    max_h = 3
+    got = {
+        (r["a"], r["b"]): (r["hamming"], r["keep_id"])
+        for r in simhash_near_dup(docs, max_hamming=max_h).collect()
+    }
+    # brute-force oracle over the signatures: the segment pigeonhole
+    # (max_hamming < n_segments) must lose NO pair
+    sigs = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= max_h:
+                want[(a, b)] = (h, a)
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == (0, 1)  # exact dup pair
+    with pytest.raises(ValueError):
+        simhash_near_dup(docs, n_segments=4, max_hamming=4)
+
+
 def test_language_id(spark, docs):
     got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
     assert got[1] == "en" and got[4] == "und" and got[5] == "fr"
