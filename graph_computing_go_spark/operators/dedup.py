@@ -26,7 +26,7 @@ generated pairs each, exactly like the NGD hub grid (functions/ngd.py:81-115).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_computing_go_spark.operators.text import tokens_col
@@ -50,20 +50,37 @@ def exact_dedup(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(id, shingle): distinct word-k-shingles per document via a lead()
-    window over exploded tokens — portable to SQL (same lead semantics)."""
-    words = df.select(
+    """(id, shingle): distinct word-k-shingles per document, computed
+    row-locally with array expressions (transform over a position sequence +
+    slice + concat_ws) — the corpus-sized token stream never shuffles; the
+    only exchange left is the final distinct on (id, shingle).
+
+    An earlier formulation posexploded tokens and ran lead() over a
+    Window.partitionBy(id) — a full shuffle + sort of every token in the
+    corpus, the single largest intermediate in the dedup family (shingles
+    feeds MinHash/LSH, n-gram Jaccard, and dedup_clusters).  Output is
+    identical (the DuckDB oracle keeps the equivalent lead() SQL, which
+    doubles as the cross-formulation check)."""
+    # materialize the token array as a concrete column BEFORE the shingle
+    # transform: Catalyst does not common-subexpression-eliminate into
+    # higher-order-function lambdas, so referencing the split expression
+    # inside the per-position lambda would re-tokenize the document once per
+    # shingle (O(tokens²) per doc — measured 30% slower on the dedup bench)
+    toked = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokens_col(text_col)).alias("pos", "w"),
-    ).withColumn("w", F.lower("w"))
-    wnd = Window.partitionBy("id").orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(wnd) for i in range(1, k)]
-    sh = words.select(
-        "id", F.concat_ws(" ", *cols).alias("shingle"), *[
-            F.lead("w", k - 1).over(wnd).alias("_last")
-        ]
+        F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
     )
-    return sh.filter(F.col("_last").isNotNull()).select("id", "shingle").distinct()
+    toks = F.col("__toks")
+    n_sh = F.size(toks) - (k - 1)
+    # sequence(0, n) DESCENDS when n < 0 — guard short docs explicitly
+    sh_arr = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("id", F.explode(sh_arr).alias("shingle")).distinct()
 
 
 def minhash_signatures(
@@ -263,11 +280,18 @@ def dedup_clusters(
         )
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
+    # truncate the LSH lineage before the iterative engine: every CC
+    # superstep re-ANALYZES its edge plan even though execution reads the
+    # edge cache, and the full shingle→band→grid→verify tree makes that
+    # Catalyst pass the dominant cost of the whole pipeline (measured 3×:
+    # ~31-49 s → ~8-10 s on the 22k-doc bench case).  Eager, so the shingle
+    # cache can retire immediately.
+    verified = verified.localCheckpoint()
+    sh.unpersist()  # verified is materialized; the shingles are spent
     # jump=True: a duplicate CHAIN (A≈B≈C≈… with no short cuts) has
     # diameter = chain length, so plain min-label relaxation would need one
     # superstep per link; pointer jumping converges in O(log chain) rounds.
     comps, _ = connected_components(verified, max_iter=max_iter, jump=True)
-    sh.unpersist()  # CC materialized its edge cache; the shingles are spent
     if collapse_exact:
         # original id → its exact-group representative → the rep's component
         rep_of = keys.join(rep_ids, "__h").select(
