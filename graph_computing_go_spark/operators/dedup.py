@@ -466,11 +466,13 @@ def simhash_near_dup(
                 F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
         )
-        # a pair surfaces once per agreeing segment; hamming is a function of
-        # the full signatures so min() just collapses the duplicates
+        # a pair surfaces once per agreeing segment with the SAME hamming
+        # (it's a function of the full signatures), so filter BEFORE the
+        # dedup groupBy — far pairs never enter the shuffle — and min()
+        # just collapses the surviving duplicates
+        .filter(F.col("hamming") <= max_hamming)
         .groupBy("a", "b")
         .agg(F.min("hamming").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
     )
     return scored.select("a", "b", "hamming", F.least("a", "b").alias("keep_id"))
 

@@ -7,9 +7,13 @@ windowed aggregation, exactly mirroring the batch ``events_hourly`` query so
 the two paths are cross-checkable.
 """
 
+from graph_computing_go_spark.streaming.dedup import (  # noqa: F401
+    exact_dedup_stream,
+)
 from graph_computing_go_spark.streaming.events import (  # noqa: F401
     hourly_event_stats_stream,
     run_stream_once,
+    run_stream_once_to_dir,
 )
 from graph_computing_go_spark.streaming.sessions import (  # noqa: F401
     sessionize_batch,

@@ -56,3 +56,22 @@ def run_stream_once(
     )
     q.awaitTermination()
     return result.sparkSession.table(table_name)
+
+
+def run_stream_once_to_dir(
+    result: DataFrame, checkpoint_dir: str, out_dir: str
+) -> DataFrame:
+    """Like run_stream_once but into a parquet sink, which (unlike the memory
+    sink) supports RESUMING from the checkpoint — drive the same query over
+    successive deliveries to exercise cross-run state (dedup, sessions).
+    Returns a batch DataFrame over everything emitted so far."""
+    q = (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.read.parquet(out_dir)

@@ -506,3 +506,50 @@ def test_cosine_topk_arrow_tie_break_parity(spark):
     b = sorted(map(tuple, cosine_topk_arrow(emb, q, k=3).collect()))
     assert a == b
     assert [r[1] for r in sorted(a, key=lambda r: r[3])] == [1, 2, 3]
+
+
+def test_streaming_exact_dedup_incremental(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: the kept HASH SET equals the
+    batch exact_dedup groups, duplicates arriving in a LATER micro-batch
+    run (same checkpoint) are dropped by persisted state, and only genuinely
+    new content is emitted incrementally."""
+    import datetime
+
+    from graph_computing_go_spark.operators.dedup import exact_dedup
+    from graph_computing_go_spark.streaming import (
+        exact_dedup_stream,
+        run_stream_once_to_dir,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    ddl = "doc_id long, text string, ts timestamp"
+    src, ck = str(tmp_path / "docs"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "alpha text", m(0)), (2, "beta text", m(1)), (3, "alpha text", m(2))],
+        ddl,
+    ).write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    got1 = run_stream_once_to_dir(
+        exact_dedup_stream(spark, src, watermark="10 minutes"), ck, out
+    ).collect()
+    assert len(got1) == 2  # alpha once, beta once
+
+    # second delivery: two duplicates of already-seen content + one new doc;
+    # the SAME checkpoint resumes state, so only the new content is emitted
+    spark.createDataFrame(
+        [(4, "alpha text", m(3)), (5, "gamma text", m(4)), (6, "beta text", m(5))],
+        ddl,
+    ).write.mode("append").parquet(src)
+    got2 = run_stream_once_to_dir(
+        exact_dedup_stream(spark, src, watermark="10 minutes"), ck, out
+    ).collect()
+    new = [r for r in got2 if r.id not in {g.id for g in got1}]
+    assert len(got2) == 3 and len(new) == 1 and new[0].id == 5
+
+    stream_hashes = {r.hash for r in got2}
+    batch = exact_dedup(spark.read.parquet(src)).collect()
+    assert stream_hashes == {r.hash for r in batch} and len(batch) == 3
