@@ -1,0 +1,78 @@
+"""End-to-end training-corpus preparation — the composition a data-curation
+run actually executes, as ONE operator with an auditable drop ledger.
+
+Order of attribution (each document gets exactly one status, decided by the
+FIRST stage that drops it — the convention curation reports use):
+
+1. ``low_quality``  — rule-based quality score below ``min_quality``
+2. ``language``     — predicted language not in ``languages``
+3. ``duplicate``    — non-canonical member of a near-dup cluster
+4. ``kept``         — survived everything (canonical_id == its own id)
+
+Every INPUT row comes back exactly once: curation at scale is judged on its
+ledger (what was dropped and WHY, per stage) as much as on the kept set, and
+recomputing drop reasons post-hoc costs another full pass.
+
+Scale shape: quality is a row-local projection; language-ID is one explode +
+broadcast stopword join + two-stage count (operators/text.py:51); dedup runs
+ONLY on the quality+language survivors — the cheap row-local filters come
+first precisely so the expensive candidate-pair stage sees the smallest
+possible corpus.  All reassembly joins are doc-grain equi-joins on the id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from graph_computing_go_spark.operators.dedup import dedup_clusters
+from graph_computing_go_spark.operators.text import language_id, quality_score
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    languages: tuple[str, ...] | None = ("en",),
+    **dedup_kwargs,
+) -> DataFrame:
+    """(id, status, canonical_id, score, pred_lang) — one row per input doc.
+
+    ``status`` ∈ {kept, low_quality, language, duplicate}; ``canonical_id``
+    is the surviving representative for duplicate/kept rows and NULL for
+    rows dropped before the dedup stage (they never entered a cluster).
+    ``languages=None`` disables the language gate.  ``dedup_kwargs`` pass
+    through to ``dedup_clusters`` (k, n_hashes, min_jaccard, chunk, …).
+    """
+    q = quality_score(df, id_col, text_col).select(id_col, "score")
+    lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
+    base = df.select(id_col, text_col).join(q, id_col).join(lang, id_col)
+
+    quality_ok = F.col("score") >= min_quality
+    lang_ok = (
+        F.col("pred_lang").isin(*languages) if languages else F.lit(True)
+    )
+    eligible = base.filter(quality_ok & lang_ok).select(id_col, text_col)
+    clusters = dedup_clusters(eligible, id_col, text_col, **dedup_kwargs)
+
+    return (
+        base.join(
+            clusters.select(
+                F.col("id").alias(id_col), "canonical_id", "is_canonical"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.when(~quality_ok, F.lit("low_quality"))
+            .when(~lang_ok, F.lit("language"))
+            .when(~F.col("is_canonical"), F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            "canonical_id",
+            "score",
+            "pred_lang",
+        )
+    )

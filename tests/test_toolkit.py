@@ -553,3 +553,37 @@ def test_streaming_exact_dedup_incremental(spark, tmp_path):
     stream_hashes = {r.hash for r in got2}
     batch = exact_dedup(spark.read.parquet(src)).collect()
     assert stream_hashes == {r.hash for r in batch} and len(batch) == 3
+
+
+def test_prepare_training_corpus_ledger(spark):
+    """Every input doc returns exactly once with first-dropping-stage
+    attribution; kept+duplicate rows carry the cluster canonical."""
+    from graph_computing_go_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun finally sets"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " tonight"),  # near-dup of 1
+            (3, "x 1 2 3 ~~ !!"),  # low quality: short, non-alpha
+            (4, "el rapido zorro marron salta sobre el perro perezoso y "
+                "luego corre lejos hacia el bosque verde con una calma"),
+            (5, "a completely different english document that talks at "
+                "length about the distributed analytics engine we build "
+                "here with joins and aggregations over the document table"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in prepare_training_corpus(docs).collect()}
+    assert len(out) == 5
+    assert out[3].status == "low_quality" and out[3].canonical_id is None
+    assert out[4].status == "language" and out[4].pred_lang != "en"
+    dup_pair = {out[1].status, out[2].status}
+    assert dup_pair == {"kept", "duplicate"}
+    assert out[1].canonical_id == out[2].canonical_id == 1
+    assert out[5].status == "kept" and out[5].canonical_id == 5
