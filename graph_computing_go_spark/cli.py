@@ -22,7 +22,7 @@ Reference command → subcommand map:
 | `oae -t tddc` per-(year, discipline) lifecycle (openAlexTopDsiplineDistanceComplexity.go) | `tddc` |
 | `wikipediaInDegree` (cmd/wikipediaInDegree.go) | `in-degree` |
 | (north rule additions) | `pagerank`, `connected-components`, `label-propagation`, `triangles` |
-| (training-data additions) | `dedup` (near-dup clustering over a document table) |
+| (training-data additions) | `dedup` (near-dup clustering over a document table), `prepare` (quality → language → dedup ledger) |
 | `extractWikipediaDump` (ingest) | `ingest-repos` |
 
 Inputs are parquet paths (edge table ``src,dst``; vertex tables as noted);
@@ -289,6 +289,31 @@ def cmd_label_propagation(args):
     )
 
 
+def cmd_prepare(args):
+    from graph_computing_go_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    ledger = prepare_training_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        languages=tuple(args.languages) if args.languages else None,
+        min_jaccard=args.min_jaccard,
+    ).cache()
+    write_result(ledger, args.output, "corpus_ledger")
+    by_status = {
+        r["status"]: r["n"]
+        for r in ledger.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    ledger.unpersist()
+    _emit(cmd=args.cmd, rows=sum(by_status.values()), **by_status)
+
+
 def cmd_dedup(args):
     from graph_computing_go_spark.operators.dedup import dedup_clusters
     from graph_computing_go_spark.sources.io import write_result
@@ -431,6 +456,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--n-hashes", type=int, default=16)
     sp.add_argument("--rows-per-band", type=int, default=4)
     sp.set_defaults(fn=cmd_dedup)
+
+    sp = sub.add_parser("prepare")
+    sp.add_argument("--docs", required=True, help="parquet document table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-quality", type=float, default=0.35)
+    sp.add_argument(
+        "--languages",
+        nargs="*",
+        default=["en"],
+        help="kept languages; pass no values to disable the gate",
+    )
+    sp.add_argument("--min-jaccard", type=float, default=0.8)
+    sp.set_defaults(fn=cmd_prepare)
 
     sp = sub.add_parser("ingest-repos")
     sp.add_argument("--repos", required=True)

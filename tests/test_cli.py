@@ -237,3 +237,31 @@ def test_cli_tddc_grouped_lifecycle(spark, tmp_path, capsys):
         solo = distance_complexity(w, c).collect()[0]
         assert got[key][0] == pytest.approx(solo["big"], abs=1e-9), key
         assert got[key][1] == pytest.approx(solo["little"], abs=1e-9), key
+
+
+def test_cli_prepare_corpus(spark, graph_dirs, capsys):
+    base, _, _ = graph_dirs
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun finally sets"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_en),
+            (2, long_en + " tonight"),
+            (3, "@@ ## 1 2"),
+        ],
+        "doc_id long, text string",
+    )
+    dpath = str(base / "prep_docs")
+    docs.write.parquet(dpath)
+    out = str(base / "wh_prep")
+    res = _run_inproc(
+        capsys,
+        ["prepare", "--docs", dpath, "--output", out, "--min-jaccard", "0.5"],
+    )
+    assert res["rows"] == 3 and res["kept"] == 1
+    assert res["duplicate"] == 1 and res["low_quality"] == 1
+    ledger = spark.read.parquet(f"{out}/corpus_ledger")
+    got = {r["id"]: r["status"] for r in ledger.collect()}
+    assert got[3] == "low_quality" and {got[1], got[2]} == {"kept", "duplicate"}
