@@ -17,7 +17,7 @@ the DuckDB oracles can reproduce values bit-for-bit:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword seeds — enough for the heuristic to be
@@ -69,12 +69,16 @@ def language_id(
         .groupBy("id", "cand_lang")
         .agg(F.count("*").alias("hits"))
     )
-    # argmax with deterministic tie-break (most hits, then smallest lang code)
-    w = Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("cand_lang"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("cand_lang").alias("pred_lang"), "hits")
+    # argmax with deterministic tie-break (most hits, then smallest lang
+    # code) as a hash aggregate — min of struct(-hits, lang) orders
+    # lexicographically, replacing a per-doc sort window (same shuffle key,
+    # no sort, partial-aggregates map-side)
+    best = hits.groupBy("id").agg(
+        F.min(F.struct((-F.col("hits")).alias("nh"), "cand_lang")).alias("__b")
+    ).select(
+        "id",
+        F.col("__b.cand_lang").alias("pred_lang"),
+        (-F.col("__b.nh")).alias("hits"),
     )
     return (
         n_tok.join(best, "id", "left")
