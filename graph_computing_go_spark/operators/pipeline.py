@@ -47,17 +47,24 @@ def prepare_training_corpus(
     """
     q = quality_score(df, id_col, text_col).select(id_col, "score")
     lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
-    base = df.select(id_col, text_col).join(q, id_col).join(lang, id_col)
+    # narrow (id, score, pred_lang) metadata, CACHED: it is consumed twice
+    # (the eligibility filter feeding dedup, then the final ledger join) and
+    # without the cache the language-ID explode would execute once per
+    # consumer.  Deliberately excludes the text column — at 100 TB the text
+    # is the corpus; the gate columns are 3 scalars per doc.
+    meta = q.join(lang, id_col).cache()
 
     quality_ok = F.col("score") >= min_quality
     lang_ok = (
         F.col("pred_lang").isin(*languages) if languages else F.lit(True)
     )
-    eligible = base.filter(quality_ok & lang_ok).select(id_col, text_col)
+    eligible = df.select(id_col, text_col).join(
+        meta.filter(quality_ok & lang_ok).select(id_col), id_col, "left_semi"
+    )
     clusters = dedup_clusters(eligible, id_col, text_col, **dedup_kwargs)
 
-    return (
-        base.join(
+    ledger = (
+        meta.join(
             clusters.select(
                 F.col("id").alias(id_col), "canonical_id", "is_canonical"
             ),
@@ -76,3 +83,8 @@ def prepare_training_corpus(
             "pred_lang",
         )
     )
+    # doc-grain scalar result, same hygiene as dedup_clusters: materialize so
+    # the meta cache can be retired — no internal cache outlives the call
+    ledger = ledger.localCheckpoint()
+    meta.unpersist()
+    return ledger
