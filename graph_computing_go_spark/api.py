@@ -1430,6 +1430,9 @@ def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFr
         ).alias("cats"),
     )
     df = distance_complexity(wedges, cats, group=["year", "discipline"])
+    # df is materialized (localCheckpoint inside distance_complexity), so the
+    # routed-edge cache can retire with the call
+    wedges.unpersist()
     return df.select(
         "year",
         "discipline",

@@ -178,9 +178,14 @@ def distance_complexity(
     )
 
     if node_cat is None:
-        return big.select(
+        # group-grain scalar result: materialize so the edge cache retires
+        # with the call (same hygiene as dedup_clusters — no internal cache
+        # outlives the function in a long driver session)
+        out = big.select(
             *group, "big", F.lit(None).cast("double").alias("little")
-        )
+        ).localCheckpoint()
+        e.unpersist()
+        return out
 
     # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
     # copy maps above stay broadcast in ungrouped mode — they are small there
@@ -239,7 +244,16 @@ def distance_complexity(
     )
     little = per_mod.groupBy(*group).agg(F.sum("term").alias("little"))
     if group:
-        return big.join(little, list(group), "left").select(
+        out = big.join(little, list(group), "left").select(
             *group, "big", "little"
         )
-    return big.crossJoin(little)
+    else:
+        out = big.crossJoin(little)
+    # one row per group: localCheckpoint is a trivially small materialization
+    # and lets both internal caches retire NOW instead of accreting across a
+    # 50-query driver session (the conftest driver-memory bump this module's
+    # family forced is exactly that accretion)
+    out = out.localCheckpoint()
+    tagged.unpersist()
+    e.unpersist()
+    return out

@@ -144,4 +144,8 @@ def multilayer_structural_entropy(
         )
     )
     little = per_mod.agg(F.sum("term").alias("little"))
-    return big.crossJoin(little)
+    # one-row scalar result: materialize so the expanded-graph cache retires
+    # with the call instead of accreting across a 50-query driver session
+    out = big.crossJoin(little).localCheckpoint()
+    e_full.unpersist()
+    return out

@@ -240,11 +240,16 @@ def dedup_clusters(
         # text never enters the collapse machinery: the only shuffled /
         # cached artifact is the (sha2, rep_id) map, and representatives
         # keep their full row via a semi-join (the semi-join's shuffle of
-        # df by id is one the shingle window needs anyway)
+        # df by id is one the shingle window needs anyway).  NULL text maps
+        # to "" (sha2 of any non-null text is 64 hex chars, so no collision):
+        # null-text docs form one exact group instead of vanishing from the
+        # null-unsafe __h equi-join below.  keys is CACHED — two narrow
+        # columns; uncached it would re-scan + re-hash the full corpus text
+        # a second time when rep_of runs after connected components.
         keys = df.select(
             F.col(id_col).alias("__orig_id"),
-            F.sha2(F.col(text_col), 256).alias("__h"),
-        )
+            F.coalesce(F.sha2(F.col(text_col), 256), F.lit("")).alias("__h"),
+        ).cache()
         rep_ids = keys.groupBy("__h").agg(
             F.min("__orig_id").alias("__rep")
         ).cache()
@@ -326,6 +331,7 @@ def dedup_clusters(
         # no internal cache outlives the call
         out = out.localCheckpoint()
         rep_ids.unpersist()
+        keys.unpersist()
     return out
 
 

@@ -108,8 +108,14 @@ def extract_features(
                 b"".join(pdf["payload"].dropna()), dtype=np.uint8
             )
             seg = np.repeat(np.arange(n), lens)
+            # clip the bin index: when 256 % n_bins != 0 the quotient maps
+            # bytes >= n_bins*(256//n_bins) to bin n_bins (the last bin is
+            # simply wider) — unclipped, that index bleeds into the NEXT
+            # row's bin 0 in the flattened bincount and overflows the
+            # reshape on the final row
+            bins = np.minimum(buf // max(1, 256 // n_bins), n_bins - 1)
             hist = np.bincount(
-                seg * n_bins + buf // (256 // n_bins), minlength=n * n_bins
+                seg * n_bins + bins, minlength=n * n_bins
             ).reshape(n, n_bins)
             sums = np.bincount(seg, weights=buf.astype(np.float64), minlength=n)
             denom = np.maximum(lens, 1)

@@ -51,12 +51,24 @@ def prepare_training_corpus(
     # (the eligibility filter feeding dedup, then the final ledger join) and
     # without the cache the language-ID explode would execute once per
     # consumer.  Deliberately excludes the text column — at 100 TB the text
-    # is the corpus; the gate columns are 3 scalars per doc.
-    meta = q.join(lang, id_col).cache()
+    # is the corpus; the gate columns are 3 scalars per doc.  LEFT join:
+    # language_id emits no row for a NULL-text doc (exploding a null token
+    # array yields zero rows), and an inner join here would silently drop
+    # that doc from the ledger — 'und' is the same verdict language_id gives
+    # hit-less docs it does emit.
+    meta = q.join(lang, id_col, "left").select(
+        id_col, "score", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+    ).cache()
 
-    quality_ok = F.col("score") >= min_quality
+    # null-safe gates: a NULL score (NULL text — length(NULL) poisons the
+    # arithmetic) must read as a FAILED gate both in the eligibility filter
+    # (where bare NULL already filters out) and in the ledger's when-chain
+    # (where bare ~NULL would skip every arm and mislabel the doc 'kept')
+    quality_ok = F.coalesce(F.col("score") >= min_quality, F.lit(False))
     lang_ok = (
-        F.col("pred_lang").isin(*languages) if languages else F.lit(True)
+        F.coalesce(F.col("pred_lang").isin(*languages), F.lit(False))
+        if languages
+        else F.lit(True)
     )
     eligible = df.select(id_col, text_col).join(
         meta.filter(quality_ok & lang_ok).select(id_col), id_col, "left_semi"

@@ -353,16 +353,27 @@ def train_ivf_centroids(
         assign = ivf_assign(
             df, n_centroids, id_col, vec_col, rank_limit=1, centroids=C
         ).select(F.col("id").alias(id_col), "centroid")
+        # second tiny groupBy folds the k×d per-dim means into k array rows
+        # BEFORE collect: k Row objects of d-length arrays reach the driver,
+        # not k·d scalar Rows (at 65536×768 that is the difference between
+        # ~200 MB of floats and ~50M Python Row objects per iteration)
         means = (
             df.join(assign, id_col)
             .select("centroid", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"))
             .groupBy("centroid", "pos")
             .agg(F.avg("x").alias("m"))
+            .groupBy("centroid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("mean")
+            )
             .collect()
         )
         newC = C.copy()  # empty clusters keep their previous centroid
         for r in means:
-            newC[r["centroid"], r["pos"]] = r["m"]
+            newC[r["centroid"]] = np.asarray(r["mean"], dtype=np.float64)
         C = _unit(newC)
     return C
 
