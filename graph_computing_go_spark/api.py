@@ -26,6 +26,7 @@ from graph_computing_go_spark.functions.entropy import (
 )
 from graph_computing_go_spark.functions.multilayer import multilayer_structural_entropy
 from graph_computing_go_spark.functions.ngd import google_distance
+from graph_computing_go_spark.session import eager_results
 from graph_computing_go_spark.operators.graph import (
     GRAPH_MOD,
     current_in_degree,
@@ -1431,8 +1432,11 @@ def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFr
     )
     df = distance_complexity(wedges, cats, group=["year", "discipline"])
     # df is materialized (localCheckpoint inside distance_complexity), so the
-    # routed-edge cache can retire with the call
-    wedges.unpersist()
+    # routed-edge cache can retire with the call — except in the lazy
+    # plan-audit mode, where unpersisting pre-collect would drop the shared
+    # scan the un-materialized plan still needs
+    if eager_results():
+        wedges.unpersist()
     return df.select(
         "year",
         "discipline",

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_computing_go_spark.operators.graph import global_row_number
+from graph_computing_go_spark.session import eager_results
 
 
 def _canonical(wedges: DataFrame, group: list[str]) -> DataFrame:
@@ -178,13 +179,16 @@ def distance_complexity(
     )
 
     if node_cat is None:
-        # group-grain scalar result: materialize so the edge cache retires
-        # with the call (same hygiene as dedup_clusters — no internal cache
-        # outlives the function in a long driver session)
         out = big.select(
             *group, "big", F.lit(None).cast("double").alias("little")
-        ).localCheckpoint()
-        e.unpersist()
+        )
+        # group-grain scalar result: materialize so the edge cache retires
+        # with the call (same hygiene as dedup_clusters — no internal cache
+        # outlives the function in a long driver session); SPARK_GRAFT_EAGER=0
+        # keeps it lazy for the plan audit
+        if eager_results():
+            out = out.localCheckpoint()
+            e.unpersist()
         return out
 
     # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
@@ -252,8 +256,10 @@ def distance_complexity(
     # one row per group: localCheckpoint is a trivially small materialization
     # and lets both internal caches retire NOW instead of accreting across a
     # 50-query driver session (the conftest driver-memory bump this module's
-    # family forced is exactly that accretion)
-    out = out.localCheckpoint()
-    tagged.unpersist()
-    e.unpersist()
+    # family forced is exactly that accretion); SPARK_GRAFT_EAGER=0 keeps it
+    # lazy for the plan audit
+    if eager_results():
+        out = out.localCheckpoint()
+        tagged.unpersist()
+        e.unpersist()
     return out

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_computing_go_spark.operators.graph import global_row_number
+from graph_computing_go_spark.session import eager_results
 
 
 def _expanded_graph(vertices: DataFrame, edges: DataFrame):
@@ -146,6 +147,9 @@ def multilayer_structural_entropy(
     little = per_mod.agg(F.sum("term").alias("little"))
     # one-row scalar result: materialize so the expanded-graph cache retires
     # with the call instead of accreting across a 50-query driver session
-    out = big.crossJoin(little).localCheckpoint()
-    e_full.unpersist()
+    # (SPARK_GRAFT_EAGER=0 keeps it lazy for the plan audit)
+    out = big.crossJoin(little)
+    if eager_results():
+        out = out.localCheckpoint()
+        e_full.unpersist()
     return out

@@ -34,6 +34,16 @@ _DEFAULTS = {
 }
 
 
+def eager_results() -> bool:
+    """True (the default): group-grain results ``localCheckpoint`` before
+    returning so each operator's internal caches retire with the call
+    instead of accreting across a long many-query driver session.
+    ``SPARK_GRAFT_EAGER=0`` keeps results lazy (caches left to the caller)
+    — ``tools/plandump.py`` uses it so the plan audit sees the full
+    physical plan rather than the post-checkpoint scan."""
+    return os.environ.get("SPARK_GRAFT_EAGER", "1") != "0"
+
+
 def get_spark(
     app_name: str = "graph-computing-go-spark",
     master: str | None = None,
