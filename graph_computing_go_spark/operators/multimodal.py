@@ -130,3 +130,153 @@ def extract_features(
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Resize every payload to exactly ``width*height`` bytes (same
+    MEDIA_SCHEMA out, meta.width/height set, sha256 recomputed JVM-side).
+
+    ``decode_stub='fake'`` treats the payload as a 1-D byte image and
+    nearest-neighbor-resamples it — one vectorized gather over the whole
+    Arrow batch (index arithmetic on the concatenated buffer; no per-byte
+    Python).  A real deployment swaps the gather for PIL/cv2 per batch;
+    everything else — batch shape, output schema, JVM-side metadata
+    rebuild — is the production plumbing.  Empty/NULL payloads resize to
+    zeros (their sha is still well-defined).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if decode_stub not in ("fake", "error"):
+        raise ValueError(f"unknown decode_stub: {decode_stub}")
+    wh = int(width) * int(height)
+    if wh <= 0:
+        raise ValueError("width*height must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "real image resize requires PIL/cv2 — not available "
+                    "in this environment"
+                )
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            lens = pdf["payload"].str.len().fillna(0).to_numpy(dtype=np.int64)
+            buf = np.frombuffer(
+                b"".join(pdf["payload"].dropna()), dtype=np.uint8
+            )
+            # nearest-neighbor gather, whole batch at once: row i's output
+            # byte j reads input byte floor(j * L_i / wh) at that row's
+            # offset; L_i == 0 rows read a dummy index and are zeroed after
+            starts = np.repeat(np.concatenate(([0], np.cumsum(lens)[:-1])), wh)
+            j = np.tile(np.arange(wh, dtype=np.int64), n)
+            l_rep = np.repeat(lens, wh)
+            idx = starts + (j * l_rep) // wh
+            out = (
+                buf[np.minimum(idx, max(len(buf) - 1, 0))]
+                if len(buf)
+                else np.zeros(n * wh, dtype=np.uint8)
+            )
+            out = np.where(l_rep > 0, out, 0).astype(np.uint8).reshape(n, wh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [r.tobytes() for r in out],
+                    "modality": pdf["meta"].str.get("modality"),
+                    "mime": pdf["meta"].str.get("mime"),
+                    "duration_ms": pdf["meta"].str.get("duration_ms"),
+                }
+            )
+
+    resized = media.mapInPandas(
+        kernel,
+        "media_id long, payload binary, modality string, mime string, "
+        "duration_ms int",
+    )
+    # metadata rebuild stays JVM-side (sha2 over the new payload is a
+    # built-in — no reason to hash inside the Python kernel)
+    return resized.select(
+        "media_id",
+        "payload",
+        F.struct(
+            F.col("modality"),
+            F.col("mime"),
+            F.lit(int(width)).alias("width"),
+            F.lit(int(height)).alias("height"),
+            F.col("duration_ms"),
+            F.sha2("payload", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def sample_frames(
+    media: DataFrame, n_frames: int, decode_stub: str = "fake"
+) -> DataFrame:
+    """Row-exploding frame sampler: each payload yields ``n_frames`` rows
+    ``(media_id, frame_idx, ts_ms, frame binary)`` — the batch shape a real
+    video pipeline needs (one input row fans out to many output rows inside
+    mapInPandas; Spark only sees the declared output schema).
+
+    ``decode_stub='fake'``: frame k is the payload byte-slice
+    ``[k*L/n, (k+1)*L/n)`` and ``ts_ms`` spaces ``meta.duration_ms``
+    evenly (NULL duration → NULL ts).  Boundary arithmetic is vectorized;
+    the per-frame ``bytes`` objects are C-level buffer slices.  A real
+    deployment replaces the slice with an ffmpeg/pyav keyframe grab.
+    Empty/NULL payloads yield ``n_frames`` empty frames (ledger-style: no
+    input row silently disappears).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if decode_stub not in ("fake", "error"):
+        raise ValueError(f"unknown decode_stub: {decode_stub}")
+    k = int(n_frames)
+    if k <= 0:
+        raise ValueError("n_frames must be positive")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "error":
+                raise NotImplementedError(
+                    "real frame extraction requires ffmpeg/pyav — not "
+                    "available in this environment"
+                )
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            lens = pdf["payload"].str.len().fillna(0).to_numpy(dtype=np.int64)
+            # frame boundaries for ALL (row, frame) pairs in one shot
+            f = np.arange(k + 1, dtype=np.int64)
+            bounds = (lens[:, None] * f[None, :]) // k  # (n, k+1)
+            dur = pdf["meta"].str.get("duration_ms").to_numpy(dtype=object)
+            payloads = pdf["payload"].to_numpy(dtype=object)
+            frames = [
+                bytes(payloads[i][bounds[i, j] : bounds[i, j + 1]] or b"")
+                if payloads[i] is not None
+                else b""
+                for i in range(n)
+                for j in range(k)
+            ]
+            ts = [
+                float(dur[i]) * j / k if dur[i] is not None else None
+                for i in range(n)
+                for j in range(k)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(
+                        pdf["media_id"].to_numpy(dtype=np.int64), k
+                    ),
+                    "frame_idx": np.tile(np.arange(k, dtype=np.int32), n),
+                    "ts_ms": pd.array(ts, dtype="float64"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(
+        kernel, "media_id long, frame_idx int, ts_ms double, frame binary"
+    )

@@ -288,6 +288,51 @@ def test_multimodal_features(spark, docs):
         extract_features(media, decode_stub="error").collect()
 
 
+def test_resize_media(spark, docs):
+    from graph_computing_go_spark.operators.multimodal import resize_media
+
+    media = synthesize_media(docs, "doc_id", "text").unionByName(
+        # NULL payload row: must come back as width*height zero bytes
+        spark.createDataFrame(
+            [(99, None, ("image", "application/x-fake-image", None, None, None, None))],
+            schema=synthesize_media(docs, "doc_id", "text").schema,
+        )
+    )
+    out = {r["media_id"]: r for r in resize_media(media, 4, 3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 99}
+    for r in out.values():
+        assert len(r["payload"]) == 12
+        assert r["meta"]["width"] == 4 and r["meta"]["height"] == 3
+        assert r["meta"]["sha256"] is not None
+    # nearest-neighbor on a known byte string: byte j of output reads input
+    # byte floor(j * L / 12)
+    src = "the quick brown fox jumps over the lazy dog".encode()
+    expect = bytes(src[(j * len(src)) // 12] for j in range(12))
+    assert bytes(out[1]["payload"]) == expect
+    assert bytes(out[99]["payload"]) == b"\x00" * 12
+    # deterministic: docs 1 and 3 share text, so identical resized payloads
+    assert out[1]["meta"]["sha256"] == out[3]["meta"]["sha256"]
+
+
+def test_sample_frames(spark, docs):
+    from graph_computing_go_spark.operators.multimodal import sample_frames
+
+    media = synthesize_media(docs, "doc_id", "text")
+    rows = sample_frames(media, 4).collect()
+    # row-exploding kernel: every input row yields exactly n_frames rows
+    assert len(rows) == 5 * 4
+    by_media = {}
+    for r in sorted(rows, key=lambda r: (r["media_id"], r["frame_idx"])):
+        by_media.setdefault(r["media_id"], []).append(r)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for mid, frames in by_media.items():
+        assert [f["frame_idx"] for f in frames] == [0, 1, 2, 3]
+        # frames partition the payload exactly (contiguous slices)
+        assert b"".join(bytes(f["frame"]) for f in frames) == payloads[mid]
+        # NULL duration_ms in the synthetic meta → NULL ts
+        assert all(f["ts_ms"] is None for f in frames)
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     from graph_computing_go_spark.streaming import (
         hourly_event_stats_stream,
