@@ -53,55 +53,68 @@ def language_id(
 ) -> DataFrame:
     """(id, pred_lang, hit_ratio) — stopword-ratio argmax.
 
-    Plan shape: explode tokens → broadcast join the (tiny) stopword table →
-    two-stage count → per-doc argmax via max_by.  The explode output is the
-    only large intermediate and it never shuffles twice: the groupBy key is
-    (doc, lang) then (doc).
+    Plan shape: fully ROW-LOCAL array expressions — the stopword seeds are
+    compile-time literals, so per-language hit counts are ``size(filter(
+    tokens, t -> t IN (...)))`` and the argmax is ``array_min`` over
+    per-language structs ordered by (-hits, lang).  Zero shuffle, zero join,
+    one whole-stage-codegen pass: the previous explode→broadcast-join→
+    two-stage-count shape shuffled the corpus-sized token stream by
+    (doc, lang) — at 100 TB that exchange IS the cost of the operator.
+    Row-locality also makes this directly usable on a STREAMING DataFrame
+    (no stateful aggregation), which ``streaming.pipeline`` relies on.
+    Tie-break unchanged: most hits, then smallest language code; no hits →
+    ('und', 0).  The token array is materialized in a child projection
+    once — Catalyst does not CSE into HOF lambdas.
     """
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(tokens_col(text_col)).alias("word"),
-    ).withColumn("word", F.lower("word"))
-    n_tok = words.groupBy("id").agg(F.count("*").alias("n_tokens"))
-    sw = F.broadcast(stopword_table(df.sparkSession))
-    hits = (
-        words.join(sw, "word")
-        .groupBy("id", "cand_lang")
-        .agg(F.count("*").alias("hits"))
+    toks = F.transform(tokens_col(text_col), lambda t: F.lower(t))
+    # NULL text emits NO row — the exact contract of the previous
+    # explode-based shape (explode of a NULL array yields zero rows) and of
+    # the DuckDB oracle's unnest; pipeline.prepare_training_corpus's left
+    # join + 'und' coalesce depends on it
+    base = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.col("__toks").isNotNull()
     )
-    # argmax with deterministic tie-break (most hits, then smallest lang
-    # code) as a hash aggregate — min of struct(-hits, lang) orders
-    # lexicographically, replacing a per-doc sort window (same shuffle key,
-    # no sort, partial-aggregates map-side)
-    best = hits.groupBy("id").agg(
-        F.min(F.struct((-F.col("hits")).alias("nh"), "cand_lang")).alias("__b")
-    ).select(
-        "id",
-        F.col("__b.cand_lang").alias("pred_lang"),
-        (-F.col("__b.nh")).alias("hits"),
-    )
-    return (
-        n_tok.join(best, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("pred_lang", F.lit("und")).alias("pred_lang"),
-            F.round(
-                F.coalesce("hits", F.lit(0)) / F.col("n_tokens"), 6
-            ).alias("hit_ratio"),
-        )
+    pred, ratio = language_cols("__toks")
+    return base.select(
+        F.col(id_col), pred.alias("pred_lang"), ratio.alias("hit_ratio")
     )
 
 
-def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(id, n_tokens, avg_word_len, alpha_ratio, score) — rule-based quality.
+def language_cols(toks_col: str | Column) -> tuple[Column, Column]:
+    """(pred_lang, hit_ratio) expressions over an already-lowercased token
+    ARRAY column — row-local, so usable in any projection, including a
+    streaming one (``streaming.pipeline``).  The caller materializes the
+    token array in a child projection (Catalyst does not CSE into HOF
+    lambdas)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    per_lang = F.array(
+        *[
+            F.struct(
+                (
+                    -F.size(F.filter(toks, lambda t: t.isin(*ws))).cast(
+                        "long"
+                    )
+                ).alias("nh"),
+                F.lit(lang).alias("cand_lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    best = F.array_min(F.filter(per_lang, lambda s: s["nh"] < 0))
+    pred = F.coalesce(best["cand_lang"], F.lit("und"))
+    ratio = F.round(F.coalesce(-best["nh"], F.lit(0)) / F.size(toks), 6)
+    return pred, ratio
+
+
+def quality_cols(text_col: str | Column = "text") -> dict[str, Column]:
+    """Row-local quality expressions keyed n_tokens / avg_word_len /
+    alpha_ratio / score — reusable in any projection (batch or streaming).
 
     score = 0.4·min(n_tokens/100, 1) + 0.3·clamp((avg_word_len-2)/5)
           + 0.3·alpha_ratio, rounded to 6.
     """
     toks = tokens_col(text_col)
-    text = F.col(text_col)
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
     n_tokens = F.size(toks)
     n_chars = F.length(text)
     alpha_chars = F.length(F.regexp_replace(text, r"[^a-zA-Z]", ""))
@@ -112,12 +125,22 @@ def quality_score(
         + 0.3 * clamp((avg_word_len - 2) / F.lit(5.0))
         + 0.3 * (alpha_chars / n_chars)
     )
+    return {
+        "n_tokens": n_tokens,
+        "avg_word_len": F.round(avg_word_len, 6),
+        "alpha_ratio": F.round(alpha_chars / n_chars, 6),
+        "score": F.round(score, 6),
+    }
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, avg_word_len, alpha_ratio, score) — rule-based
+    quality (see ``quality_cols`` for the formula)."""
+    cols = quality_cols(text_col)
     return df.select(
-        F.col(id_col),
-        n_tokens.alias("n_tokens"),
-        F.round(avg_word_len, 6).alias("avg_word_len"),
-        F.round(alpha_chars / n_chars, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("score"),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 

@@ -10,6 +10,9 @@ the two paths are cross-checkable.
 from graph_computing_go_spark.streaming.dedup import (  # noqa: F401
     exact_dedup_stream,
 )
+from graph_computing_go_spark.streaming.pipeline import (  # noqa: F401
+    prepare_corpus_stream,
+)
 from graph_computing_go_spark.streaming.events import (  # noqa: F401
     hourly_event_stats_stream,
     run_stream_once,

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from graph_computing_go_spark.operators.dedup import (
     dedup_clusters,
@@ -632,3 +633,80 @@ def test_prepare_training_corpus_ledger(spark):
     assert dup_pair == {"kept", "duplicate"}
     assert out[1].canonical_id == out[2].canonical_id == 1
     assert out[5].status == "kept" and out[5].canonical_id == 5
+
+
+def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
+    """Streaming gates+exact-dedup admit the same content hash-set as the
+    batch pipeline's kept rows (exact-duplicate-only corpus), duplicates
+    and gate failures in a LATER delivery are dropped by persisted state /
+    the same row-local predicates, and NULL text never crashes the
+    stream."""
+    import datetime
+
+    from graph_computing_go_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from graph_computing_go_spark.streaming import (
+        prepare_corpus_stream,
+        run_stream_once_to_dir,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def m(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    good_a = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun finally sets"
+    )
+    good_b = (
+        "a completely different english document that talks at length "
+        "about the distributed analytics engine we build here with joins"
+    )
+    bad_lang = (
+        "el rapido zorro marron salta sobre el perro perezoso y luego "
+        "corre lejos hacia el bosque verde con una calma"
+    )
+    ddl = "doc_id long, text string, ts timestamp"
+    src, ck = str(tmp_path / "docs"), str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(
+        [
+            (1, good_a, m(0)),
+            (2, "x 1 2 3 ~~ !!", m(1)),  # low quality
+            (3, bad_lang, m(2)),  # language gate
+            (4, good_a, m(3)),  # exact dup of 1, same micro-batch
+            (5, None, m(4)),  # NULL text: quality gate, no crash
+        ],
+        ddl,
+    ).write.mode("append").parquet(src)
+    got1 = run_stream_once_to_dir(
+        prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
+    ).collect()
+    assert [r.id for r in got1] == [1]
+
+    # later delivery: dup of admitted content (persisted state drops it),
+    # one genuinely new kept doc, one more gate failure
+    spark.createDataFrame(
+        [(6, good_a, m(5)), (7, good_b, m(6)), (8, "!! ~~ ??", m(7))], ddl
+    ).write.mode("append").parquet(src)
+    got2 = run_stream_once_to_dir(
+        prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
+    ).collect()
+    assert sorted(r.id for r in got2) == [1, 7]
+    assert all(r.pred_lang == "en" and r.score >= 0.35 for r in got2)
+
+    # batch pipeline over the full corpus keeps the same CONTENT set
+    batch = prepare_training_corpus(
+        spark.read.parquet(src).select("doc_id", "text")
+    ).collect()
+    kept_texts = {r.id for r in batch if r.status == "kept"}
+    batch_hashes = {
+        r.hash
+        for r in spark.read.parquet(src)
+        .filter(F.col("doc_id").isin(*kept_texts))
+        .select(F.sha2("text", 256).alias("hash"))
+        .collect()
+    }
+    assert {r.hash for r in got2} == batch_hashes
