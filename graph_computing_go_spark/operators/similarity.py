@@ -435,3 +435,34 @@ def ivf_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "c_id", "cosine", "rank")
     )
+
+
+def save_centroids(spark, centroids, path: str) -> None:
+    """Persist a trained centroid matrix as a (centroid, vec) parquet table.
+
+    Training and serving are separate jobs at scale — train once on a
+    sample (``train_ivf_centroids``), persist, then every ingest/search
+    job loads the same index geometry.  k×d floats: a driver-side
+    createDataFrame is the right size class (same contract as training's
+    collect), and parquet keeps the artifact readable by any engine."""
+    rows = [
+        (i, [float(x) for x in centroids[i]]) for i in range(len(centroids))
+    ]
+    (
+        spark.createDataFrame(rows, "centroid int, vec array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def load_centroids(spark, path: str):
+    """Load a ``save_centroids`` artifact back into the numpy matrix form
+    ``ivf_assign``/``ivf_ann_topk``/``train_ivf_centroids`` accept (row i =
+    centroid i)."""
+    import numpy as np
+
+    rows = spark.read.parquet(path).orderBy("centroid").collect()
+    if not rows:
+        raise ValueError(f"no centroids at {path}")
+    return np.asarray([r["vec"] for r in rows], dtype=np.float64)

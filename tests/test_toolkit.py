@@ -467,6 +467,37 @@ def test_trained_ivf_centroids(spark):
     assert trained == exact  # same-cluster neighbors -> full recall at probe 1
 
 
+def test_centroid_persistence_roundtrip(spark, tmp_path):
+    """save_centroids → load_centroids is bit-exact and the loaded index
+    searches identically to the in-memory one."""
+    import numpy as np
+
+    from graph_computing_go_spark.operators.similarity import (
+        ivf_ann_topk,
+        load_centroids,
+        save_centroids,
+        train_ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 3) % 7), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    C = train_ivf_centroids(emb, n_centroids=3, n_iters=2)
+    path = str(tmp_path / "centroids")
+    save_centroids(spark, C, path)
+    C2 = load_centroids(spark, path)
+    assert C2.shape == C.shape and np.array_equal(C, C2)
+    q = emb.filter("vec_id < 2")
+    a = sorted(
+        map(tuple, ivf_ann_topk(emb, q, k=3, n_centroids=3, centroids=C).collect())
+    )
+    b = sorted(
+        map(tuple, ivf_ann_topk(emb, q, k=3, n_centroids=3, centroids=C2).collect())
+    )
+    assert a == b
+
+
 def test_watermarked_sessionization_out_of_order_batches(spark, tmp_path):
     """Native session_window + watermark handles cross-batch stragglers BY
     SPEC: an out-of-order event arriving in a later micro-batch bridges two
