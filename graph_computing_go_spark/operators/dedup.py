@@ -387,29 +387,50 @@ def simhash(
     (strpos on '0123456789abcdef'), so DuckDB reproduces it exactly.  The
     explode is (tokens × bits) rows — bounded, and aggregated immediately.
     """
-    words = (
-        df.select(
-            F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("w")
+    # ROW-LOCAL: the bit index is a compile-time loop, so the per-doc vote
+    # vector is ONE aggregate over the token-hash array (zip_with adds each
+    # token's 32 votes) and the signature folds the vote signs against a
+    # literal power array — zero explode, zero shuffle, where the previous
+    # shape shuffled docs×bits vote rows twice (PERF.md §11's language-ID
+    # argument, applied to the other per-token text operator).  The hash
+    # array is materialized in a child projection (no CSE into HOF
+    # lambdas); NULL text emits NO row, matching the old explode and the
+    # DuckDB oracle's unnest.
+    hashes = F.transform(tokens_col(text_col), lambda t: F.md5(F.lower(t)))
+    base = df.select(F.col(id_col).alias("id"), hashes.alias("__h")).filter(
+        F.col("__h").isNotNull()
+    )
+
+    def bit_vote(h, j):
+        nib = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(h, j // 4 + 1, 1))
+            - 1
         )
-        .withColumn("w", F.lower("w"))
-        .withColumn("h", F.md5("w"))
+        bit = (
+            F.floor(nib / F.lit(float(2 ** (3 - j % 4)))).cast("long") % 2
+        )
+        return (bit * 2 - 1).cast("long")
+
+    votes = F.aggregate(
+        F.col("__h"),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[bit_vote(h, j) for j in range(bits)]),
+            lambda a, b: a + b,
+        ),
     )
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    wb = words.select("id", "h", j)
-    nib = F.instr(
-        F.lit("0123456789abcdef"),
-        F.substring(F.col("h"), (F.col("j") / 4).cast("int") + 1, 1),
-    ) - 1
-    bit = F.floor(nib / F.pow(F.lit(2.0), 3 - F.col("j") % 4)).cast("long") % 2
-    votes = wb.select("id", "j", (bit * 2 - 1).alias("vote"))
-    bitsum = votes.groupBy("id", "j").agg(F.sum("vote").alias("s"))
-    return bitsum.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j")).cast("long")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
+    pow_arr = F.array(*[F.lit(2**j).cast("long") for j in range(bits)])
+    sim = F.aggregate(
+        F.zip_with(
+            votes,
+            pow_arr,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return base.select("id", sim.alias("simhash"))
 
 
 def simhash_near_dup(
