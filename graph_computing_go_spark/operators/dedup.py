@@ -102,12 +102,66 @@ def minhash_signatures(
 
 
 def lsh_bands(sig: DataFrame, rows_per_band: int = 4) -> DataFrame:
-    """(id, band, band_key): concat the band's minhashes → md5 band key."""
+    """(id, band, band_key): concat the band's minhashes → md5 band key.
+
+    Tall-form reference formulation over ``minhash_signatures`` output;
+    the pipelines use the fused ``lsh_band_table`` (one aggregation, no
+    seed dimension) — kept equal by test."""
     banded = sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
     return banded.groupBy("id", "band").agg(
         F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
             "band_key"
         )
+    )
+
+
+def lsh_band_table(
+    sh: DataFrame, n_hashes: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, band_key) in ONE grouped aggregation over the shingle
+    table: the ``n_hashes`` per-seed minima are parallel ``min()`` columns
+    (map-side partial aggregation reduces every partition to a single
+    n_hashes-column row per doc — an n_hashes× smaller exchange than
+    exploding a seed dimension, and no second collect_list groupBy for the
+    bands), band keys are row-local md5s over the band's sorted min
+    columns, and the only explode is the docs×n_bands band fan-out.
+    Values identical to ``lsh_bands(minhash_signatures(sh))`` (pinned by
+    test)."""
+    if n_hashes % rows_per_band:
+        raise ValueError("n_hashes must be a multiple of rows_per_band")
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))
+            ).alias(f"__mh{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.array(
+                                *[
+                                    F.col(f"__mh{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            )
+                        ),
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_hashes // rows_per_band)
+        ]
+    )
+    return mins.select("id", F.explode(bands).alias("__b")).select(
+        "id",
+        F.col("__b.band").alias("band"),
+        F.col("__b.band_key").alias("band_key"),
     )
 
 
@@ -190,7 +244,7 @@ def minhash_lsh_candidates(
     mega-cluster of duplicates (see ``grid_self_pairs``).
     """
     sh = shingles(df, id_col, text_col, k)
-    bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
+    bands = lsh_band_table(sh, n_hashes, rows_per_band)
     pairs = grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
     return (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -262,7 +316,7 @@ def dedup_clusters(
         work = df
 
     sh = shingles(work, id_col, text_col, k).cache()
-    bands = lsh_bands(minhash_signatures(sh, n_hashes), rows_per_band)
+    bands = lsh_band_table(sh, n_hashes, rows_per_band)
     cand = (
         grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
         .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))

@@ -289,6 +289,23 @@ def test_multimodal_features(spark, docs):
         extract_features(media, decode_stub="error").collect()
 
 
+def test_lsh_band_table_equals_tall_form(spark, docs):
+    """The fused one-aggregation band table is value-identical to the
+    tall-form lsh_bands(minhash_signatures(...)) reference formulation."""
+    from graph_computing_go_spark.operators.dedup import (
+        lsh_band_table,
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    sh = shingles(docs)
+    tall = sorted(
+        map(tuple, lsh_bands(minhash_signatures(sh, 16), 4).collect())
+    )
+    fused = sorted(map(tuple, lsh_band_table(sh, 16, 4).collect()))
+    assert tall == fused and len(fused) > 0
+
+
 def test_resize_media(spark, docs):
     from graph_computing_go_spark.operators.multimodal import resize_media
 
