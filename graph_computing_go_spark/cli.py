@@ -314,6 +314,34 @@ def cmd_prepare(args):
     _emit(cmd=args.cmd, rows=sum(by_status.values()), **by_status)
 
 
+def cmd_prepare_stream(args):
+    """Incremental corpus preparation: each invocation processes files that
+    arrived since the last run (availableNow trigger + checkpoint), appends
+    admitted docs to the output, and exits — the cron-driven operational
+    shape of `streaming.pipeline.prepare_corpus_stream`."""
+    from graph_computing_go_spark.streaming import (
+        prepare_corpus_stream,
+        run_stream_once_to_dir,
+    )
+
+    spark = _spark(args)
+    kept = run_stream_once_to_dir(
+        prepare_corpus_stream(
+            spark,
+            args.docs,
+            id_col=args.id_col,
+            text_col=args.text_col,
+            ts_col=args.ts_col,
+            min_quality=args.min_quality,
+            languages=tuple(args.languages) if args.languages else None,
+            watermark=args.watermark,
+        ),
+        args.checkpoint,
+        args.output,
+    )
+    _emit(cmd=args.cmd, rows_total=kept.count())
+
+
 def cmd_dedup(args):
     from graph_computing_go_spark.operators.dedup import dedup_clusters
     from graph_computing_go_spark.sources.io import write_result
@@ -471,6 +499,23 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--min-jaccard", type=float, default=0.8)
     sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("prepare-stream")
+    sp.add_argument("--docs", required=True, help="parquet source directory")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--ts-col", default="ts")
+    sp.add_argument("--min-quality", type=float, default=0.35)
+    sp.add_argument(
+        "--languages",
+        nargs="*",
+        default=["en"],
+        help="kept languages; pass no values to disable the gate",
+    )
+    sp.add_argument("--watermark", default="1 hour")
+    sp.set_defaults(fn=cmd_prepare_stream)
 
     sp = sub.add_parser("ingest-repos")
     sp.add_argument("--repos", required=True)

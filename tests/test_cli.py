@@ -265,3 +265,37 @@ def test_cli_prepare_corpus(spark, graph_dirs, capsys):
     ledger = spark.read.parquet(f"{out}/corpus_ledger")
     got = {r["id"]: r["status"] for r in ledger.collect()}
     assert got[3] == "low_quality" and {got[1], got[2]} == {"kept", "duplicate"}
+
+
+def test_cli_prepare_stream_incremental(spark, graph_dirs, capsys):
+    """Two invocations over a growing source directory: the second admits
+    only genuinely new content (checkpoint state persists across runs)."""
+    import datetime
+
+    base, _, _ = graph_dirs
+    long_en = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun finally sets"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    ddl = "doc_id long, text string, ts timestamp"
+    src = str(base / "stream_docs")
+    out, ck = str(base / "stream_out"), str(base / "stream_ck")
+    spark.createDataFrame([(1, long_en, t0), (2, "@@ ##", t0)], ddl).write.mode(
+        "append"
+    ).parquet(src)
+    argv = ["prepare-stream", "--docs", src, "--output", out,
+            "--checkpoint", ck, "--watermark", "10 minutes"]
+    res1 = _run_inproc(capsys, argv)
+    assert res1["rows_total"] == 1
+    # second delivery: a duplicate of admitted content + one new doc
+    spark.createDataFrame(
+        [(3, long_en, t0 + datetime.timedelta(minutes=1)),
+         (4, long_en + " with a few genuinely new trailing words to keep",
+          t0 + datetime.timedelta(minutes=2))],
+        ddl,
+    ).write.mode("append").parquet(src)
+    res2 = _run_inproc(capsys, argv)
+    assert res2["rows_total"] == 2
+    kept = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 4}
