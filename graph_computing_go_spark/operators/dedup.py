@@ -66,6 +66,17 @@ def shingles(
     # higher-order-function lambdas, so referencing the split expression
     # inside the per-position lambda would re-tokenize the document once per
     # shingle (O(tokens²) per doc — measured 30% slower on the dedup bench)
+    return shingle_rows(df, id_col, text_col, k).distinct()
+
+
+def shingle_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) WITH duplicates — ``shingles`` minus the distinct.
+    For duplicate-insensitive consumers (per-seed MinHash minima) this
+    removes the shingle-grain distinct exchange entirely: the explode is
+    map-local and the next aggregation partial-aggregates to doc grain
+    before its shuffle."""
     toked = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
@@ -80,7 +91,7 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toked.select("id", F.explode(sh_arr).alias("shingle")).distinct()
+    return toked.select("id", F.explode(sh_arr).alias("shingle"))
 
 
 def minhash_signatures(
@@ -242,8 +253,15 @@ def minhash_lsh_candidates(
 
     ``chunk`` bounds the per-task pair generation when one band key holds a
     mega-cluster of duplicates (see ``grid_self_pairs``).
+
+    Uses the DUPLICATED shingle rows (``shingle_rows``): per-seed minima
+    are duplicate-insensitive, so skipping the distinct removes the only
+    shingle-grain exchange — the band table's groupBy(id) partial-
+    aggregates each map task to doc grain before its shuffle.
+    (``dedup_clusters`` keeps the distinct table: its exact-Jaccard
+    verifier needs it, and one cached table serves both stages there.)
     """
-    sh = shingles(df, id_col, text_col, k)
+    sh = shingle_rows(df, id_col, text_col, k)
     bands = lsh_band_table(sh, n_hashes, rows_per_band)
     pairs = grid_self_pairs(bands, ["band", "band_key"], "id", chunk)
     return (
