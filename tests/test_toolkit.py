@@ -515,6 +515,63 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_stream_then_batch_compaction(spark, tmp_path):
+    """The documented 100 TB split end-to-end: the stream admits exact-
+    distinct gated content incrementally, then a periodic batch
+    dedup_clusters compaction over the accumulated kept set sweeps the
+    near-duplicates the stream cannot — the surviving canonical content
+    equals the all-batch pipeline's kept set over the same corpus."""
+    import datetime
+
+    from graph_computing_go_spark.operators.pipeline import (
+        prepare_training_corpus,
+    )
+    from graph_computing_go_spark.streaming import (
+        prepare_corpus_stream,
+        run_stream_once_to_dir,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    good = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the quiet green forest before the sun finally sets"
+    )
+    other = (
+        "a completely different english document that talks at length "
+        "about the distributed analytics engine we build here with joins"
+    )
+    ddl = "doc_id long, text string, ts timestamp"
+    src = str(tmp_path / "src")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    # near-dup pair (1, 2): different bytes, so BOTH pass the stream's
+    # exact dedup; 3 is an exact dup of 1 and is dropped by the stream
+    spark.createDataFrame(
+        [(1, good, t0), (2, good + " tonight", t0), (3, good, t0),
+         (4, other, t0)],
+        ddl,
+    ).write.mode("append").parquet(src)
+    kept_stream = run_stream_once_to_dir(
+        prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
+    )
+    assert sorted(r.id for r in kept_stream.collect()) == [1, 2, 4]
+
+    compacted = dedup_clusters(
+        spark.read.parquet(src)
+        .withColumnRenamed("doc_id", "id")
+        .join(kept_stream.select("id"), "id", "left_semi")
+        .select("id", "text"),
+        id_col="id",
+        min_jaccard=0.5,
+    )
+    survivors = {r.id for r in compacted.filter("is_canonical").collect()}
+
+    batch = prepare_training_corpus(
+        spark.read.parquet(src).select("doc_id", "text"), min_jaccard=0.5
+    )
+    batch_kept = {r.id for r in batch.collect() if r.status == "kept"}
+    assert survivors == batch_kept == {1, 4}
+
+
 def test_watermarked_sessionization_out_of_order_batches(spark, tmp_path):
     """Native session_window + watermark handles cross-batch stragglers BY
     SPEC: an out-of-order event arriving in a later micro-batch bridges two
