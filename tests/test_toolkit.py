@@ -515,6 +515,61 @@ def test_centroid_persistence_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_chunk_documents(spark):
+    from graph_computing_go_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+            (2, "short doc"),  # 2 tokens -> one chunk
+            (3, None),  # no row
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_doc.setdefault(r["id"], []).append(r)
+    assert set(by_doc) == {1, 2}
+    # step 3: windows start at tokens 0,3,6 -> 3 chunks cover all 10 tokens
+    c1 = by_doc[1]
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[1]["chunk_text"] == "w3 w4 w5 w6"  # overlap of 1
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    assert all(r["n_tokens"] <= 4 for r in out)
+    assert by_doc[2] == [by_doc[2][0]] and by_doc[2][0]["chunk_text"] == "short doc"
+
+
+def test_pack_sequences(spark):
+    from graph_computing_go_spark.operators.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 900) for i in range(200)],
+        "doc_id long, n_tokens long",
+    ).withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    out = pack_sequences(docs, target_tokens=1000, n_shards=8).collect()
+    # every doc packed exactly once
+    assert sorted(r["id"] for r in out) == list(range(200))
+    fills = {}
+    for r in out:
+        fills.setdefault(r["pack_id"], []).append(r["n_tokens"])
+    # no pack over target unless it is a single oversized doc (none here)
+    assert all(sum(v) <= 1000 for v in fills.values())
+    # deterministic under a different input partitioning
+    out2 = pack_sequences(
+        docs.repartition(13), target_tokens=1000, n_shards=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # an oversized doc forms its own pack
+    big = spark.createDataFrame(
+        [(1, 5000), (2, 10), (3, 20)], "doc_id long, n_tokens long"
+    )
+    outb = pack_sequences(big, target_tokens=100, n_shards=1)
+    packs = {r["id"]: r["pack_id"] for r in outb.collect()}
+    assert packs[2] == packs[3] != packs[1]
+
+
 def test_stream_then_batch_compaction(spark, tmp_path):
     """The documented 100 TB split end-to-end: the stream admits exact-
     distinct gated content incrementally, then a periodic batch
