@@ -342,6 +342,42 @@ def cmd_prepare_stream(args):
     _emit(cmd=args.cmd, rows_total=kept.count())
 
 
+def cmd_chunk(args):
+    """Chunk documents into token windows; optionally pack the chunks into
+    token-budget training bins (chunk ids = doc_id * 2^20 + chunk_idx)."""
+    from graph_computing_go_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.docs)
+    chunks = chunk_documents(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        max_tokens=args.max_tokens,
+        overlap=args.overlap,
+    ).cache()
+    write_result(chunks, args.output, "chunks")
+    n_chunks = chunks.count()
+    extra = {}
+    if args.pack_target:
+        packs = pack_sequences(
+            chunks.select(
+                (F.col("id") * (1 << 20) + F.col("chunk_idx")).alias("doc_id"),
+                "n_tokens",
+            ),
+            target_tokens=args.pack_target,
+        ).cache()
+        write_result(packs, args.output, "packs")
+        extra["packs"] = packs.select("pack_id").distinct().count()
+        packs.unpersist()
+    chunks.unpersist()
+    _emit(cmd=args.cmd, rows=n_chunks, **extra)
+
+
 def cmd_dedup(args):
     from graph_computing_go_spark.operators.dedup import dedup_clusters
     from graph_computing_go_spark.sources.io import write_result
@@ -499,6 +535,21 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--min-jaccard", type=float, default=0.8)
     sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("chunk")
+    sp.add_argument("--docs", required=True, help="parquet document table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--max-tokens", type=int, default=512)
+    sp.add_argument("--overlap", type=int, default=0)
+    sp.add_argument(
+        "--pack-target",
+        type=int,
+        default=0,
+        help="also pack chunks into bins of this many tokens (0 = off)",
+    )
+    sp.set_defaults(fn=cmd_chunk)
 
     sp = sub.add_parser("prepare-stream")
     sp.add_argument("--docs", required=True, help="parquet source directory")

@@ -267,6 +267,35 @@ def test_cli_prepare_corpus(spark, graph_dirs, capsys):
     assert got[3] == "low_quality" and {got[1], got[2]} == {"kept", "duplicate"}
 
 
+def test_cli_chunk_and_pack(spark, graph_dirs, capsys):
+    base, _, _ = graph_dirs
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(20))), (2, "tiny doc")],
+        "doc_id long, text string",
+    )
+    dpath = str(base / "chunk_docs")
+    docs.write.parquet(dpath)
+    out = str(base / "wh_chunk")
+    res = _run_inproc(
+        capsys,
+        ["chunk", "--docs", dpath, "--output", out,
+         "--max-tokens", "8", "--overlap", "2", "--pack-target", "16"],
+    )
+    # doc 1: 20 tokens, step 6 -> windows at 0,6,12 (3 chunks); doc 2: 1
+    assert res["rows"] == 4 and res["packs"] >= 1
+    chunks = spark.read.parquet(f"{out}/chunks")
+    assert chunks.count() == 4
+    packs = spark.read.parquet(f"{out}/packs")
+    # every chunk packed exactly once, no pack over target
+    assert packs.count() == 4
+    fills = {
+        r["pack_id"]: r["tot"]
+        for r in packs.groupBy("pack_id").sum("n_tokens")
+        .withColumnRenamed("sum(n_tokens)", "tot").collect()
+    }
+    assert all(v <= 16 for v in fills.values())
+
+
 def test_cli_prepare_stream_incremental(spark, graph_dirs, capsys):
     """Two invocations over a growing source directory: the second admits
     only genuinely new content (checkpoint state persists across runs)."""
