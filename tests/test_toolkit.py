@@ -599,11 +599,18 @@ def test_stream_then_batch_compaction(spark, tmp_path):
     src = str(tmp_path / "src")
     out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
     # near-dup pair (1, 2): different bytes, so BOTH pass the stream's
-    # exact dedup; 3 is an exact dup of 1 and is dropped by the stream
+    # exact dedup
     spark.createDataFrame(
-        [(1, good, t0), (2, good + " tonight", t0), (3, good, t0),
-         (4, other, t0)],
-        ddl,
+        [(1, good, t0), (2, good + " tonight", t0), (4, other, t0)], ddl
+    ).write.mode("append").parquet(src)
+    run_stream_once_to_dir(
+        prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
+    )
+    # second delivery: 3 is an exact dup of ADMITTED content — dropped by
+    # persisted state (a separate delivery, so first-seen is deterministic;
+    # within ONE micro-batch the winner among equal rows is arbitrary)
+    spark.createDataFrame(
+        [(3, good, t0 + datetime.timedelta(minutes=1))], ddl
     ).write.mode("append").parquet(src)
     kept_stream = run_stream_once_to_dir(
         prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
@@ -844,7 +851,11 @@ def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
     got1 = run_stream_once_to_dir(
         prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
     ).collect()
-    assert [r.id for r in got1] == [1]
+    # docs 1 and 4 share content INSIDE one micro-batch: exactly one is
+    # admitted, but which one is processing-order-dependent — assert the
+    # content decision, not the winner id
+    assert len(got1) == 1 and got1[0].id in (1, 4)
+    winner = got1[0].id
 
     # later delivery: dup of admitted content (persisted state drops it),
     # one genuinely new kept doc, one more gate failure
@@ -854,7 +865,7 @@ def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
     got2 = run_stream_once_to_dir(
         prepare_corpus_stream(spark, src, watermark="10 minutes"), ck, out
     ).collect()
-    assert sorted(r.id for r in got2) == [1, 7]
+    assert sorted(r.id for r in got2) == sorted([winner, 7])
     assert all(r.pred_lang == "en" and r.score >= 0.35 for r in got2)
 
     # batch pipeline over the full corpus keeps the same CONTENT set
