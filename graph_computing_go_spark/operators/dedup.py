@@ -618,3 +618,46 @@ def embedding_near_dup(
     return scored.filter(F.col("cosine") >= threshold).select(
         "a", "b", "cosine", F.least("a", "b").alias("keep_id")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(id, n_hits, contaminated): benchmark decontamination — flag corpus
+    documents sharing any word-``k``-gram with an evaluation set.
+
+    The standard pre-training hygiene step: training on text that overlaps
+    the eval suite inflates benchmark scores, so contaminated documents are
+    dropped (or their spans masked) before training.  k=8 words is the
+    common operating point (large enough that sharing a k-gram is
+    de-facto copying, small enough to catch partial quotes).
+
+    Scale shape: eval suites are small (thousands of documents), so the
+    DISTINCT eval k-gram set broadcast-joins against the corpus's raw
+    shingle rows (``shingle_rows`` — duplicate-insensitive consumer, no
+    distinct exchange on the corpus side); one doc-grain aggregation
+    counts hits.  Every corpus document comes back exactly once
+    (contaminated = n_hits > 0), ledger-style.
+    """
+    eval_grams = F.broadcast(
+        shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+    )
+    hits = (
+        shingle_rows(corpus, id_col, text_col, k)
+        .join(eval_grams, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

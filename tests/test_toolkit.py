@@ -570,6 +570,57 @@ def test_pack_sequences(spark):
     assert packs[2] == packs[3] != packs[1]
 
 
+def test_decontaminate(spark, docs):
+    from graph_computing_go_spark.operators.dedup import decontaminate
+
+    # eval doc quotes doc 1's text verbatim (8 shared 3-grams); docs 4/5
+    # share no 3-gram with it
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog indeed")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in decontaminate(docs, eval_df, k=3).collect()}
+    # ledger-style: every corpus doc comes back exactly once
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["contaminated"] and out[3]["contaminated"]  # verbatim
+    assert out[2]["contaminated"]  # shares the 7-gram prefix
+    assert not out[4]["contaminated"] and not out[5]["contaminated"]
+    assert out[1]["n_hits"] == 7  # all 7 of doc 1's 3-grams appear
+
+
+def test_stratified_sample(spark):
+    from graph_computing_go_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    got = stratified_sample(df, {"web": 0.3, "books": 1.0})
+    by_src = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["books"] == 1000  # rate 1.0 admits everything
+    assert 200 <= by_src["web"] <= 400  # ~0.3 of 1000
+    # deterministic: same input, same sample, under any partitioning
+    again = stratified_sample(df.repartition(17), {"web": 0.3, "books": 1.0})
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # unlisted strata get default_fraction
+    assert (
+        stratified_sample(df, {"books": 1.0}, default_fraction=0.0)
+        .filter("source = 'web'")
+        .count()
+        == 0
+    )
+    # a different salt draws a different sample at the same rate
+    other = stratified_sample(df, {"web": 0.3, "books": 1.0}, salt="v2")
+    assert {r["doc_id"] for r in other.collect()} != {
+        r["doc_id"] for r in got.collect()
+    }
+
+
 def test_stream_then_batch_compaction(spark, tmp_path):
     """The documented 100 TB split end-to-end: the stream admits exact-
     distinct gated content incrementally, then a periodic batch
