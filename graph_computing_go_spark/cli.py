@@ -342,6 +342,31 @@ def cmd_prepare_stream(args):
     _emit(cmd=args.cmd, rows_total=kept.count())
 
 
+def cmd_decontaminate(args):
+    """Flag corpus documents overlapping an eval set; with --spans, also
+    write the merged token spans for masking-grade decontamination."""
+    from graph_computing_go_spark.operators.dedup import (
+        contaminated_spans,
+        decontaminate,
+    )
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    corpus = spark.read.parquet(args.docs)
+    evald = spark.read.parquet(args.eval)
+    flags = decontaminate(corpus, evald, k=args.k).cache()
+    write_result(flags, args.output, "decontaminate")
+    n_bad = flags.filter("contaminated").count()
+    n_rows = flags.count()
+    flags.unpersist()
+    extra = {}
+    if args.spans:
+        spans = contaminated_spans(corpus, evald, k=args.k)
+        write_result(spans, args.output, "contaminated_spans")
+        extra["spans"] = spans.count()
+    _emit(cmd=args.cmd, rows=n_rows, contaminated=n_bad, **extra)
+
+
 def cmd_chunk(args):
     """Chunk documents into token windows; optionally pack the chunks into
     token-budget training bins (chunk ids = doc_id * 2^20 + chunk_idx)."""
@@ -535,6 +560,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--min-jaccard", type=float, default=0.8)
     sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("decontaminate")
+    sp.add_argument("--docs", required=True, help="parquet corpus table")
+    sp.add_argument("--eval", required=True, help="parquet eval-set table")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--k", type=int, default=8, help="word k-gram size")
+    sp.add_argument(
+        "--spans",
+        action="store_true",
+        help="also write merged contaminated token spans (masking-grade)",
+    )
+    sp.set_defaults(fn=cmd_decontaminate)
 
     sp = sub.add_parser("chunk")
     sp.add_argument("--docs", required=True, help="parquet document table")

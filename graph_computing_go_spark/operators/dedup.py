@@ -661,3 +661,76 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """(id, start_token, end_token): merged token spans of every corpus
+    k-gram that appears in the evaluation set — the masking-grade variant
+    of ``decontaminate`` (drop-grade).  A doc quoting one eval sentence
+    loses that span, not its other 50k tokens.
+
+    Overlapping/adjacent k-gram hits merge into maximal spans row-locally:
+    hit start positions are collected per doc (sorted array), then one
+    ``aggregate`` pass folds starts into (start, end) intervals — two hits
+    merge when the next k-gram starts before the current span ends.
+    ``end_token`` is exclusive.  Only the per-doc hit-position list is
+    aggregated (bounded by hits, not tokens)."""
+    # positional shingle rows: same row-local construction as shingle_rows
+    # but carrying the 0-based start position of each k-gram
+    toked = corpus.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_sh = F.size(toks) - (k - 1)
+    sh_arr = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_rows = toked.select(
+        "id", F.posexplode(sh_arr).alias("pos", "shingle")
+    )
+    eval_grams = F.broadcast(
+        shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+    )
+    hit_starts = (
+        pos_rows.join(eval_grams, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    # fold sorted starts into merged [start, end) intervals: extend the
+    # open interval while the next hit starts inside it, else close it
+    spans = F.aggregate(
+        F.col("__starts"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1)["e"] >= p),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + k).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc, F.array(F.struct(p.cast("int").alias("s"), (p + k).cast("int").alias("e")))
+            )
+        ),
+    )
+    return hit_starts.select("id", F.explode(spans).alias("__sp")).select(
+        "id",
+        F.col("__sp.s").alias("start_token"),
+        F.col("__sp.e").alias("end_token"),
+    )

@@ -296,6 +296,29 @@ def test_cli_chunk_and_pack(spark, graph_dirs, capsys):
     assert all(v <= 16 for v in fills.values())
 
 
+def test_cli_decontaminate(spark, graph_dirs, capsys):
+    base, _, _ = graph_dirs
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "totally clean words only here")],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame([(9, "c d e f")], "doc_id long, text string")
+    cpath, epath = str(base / "decon_corpus"), str(base / "decon_eval")
+    corpus.write.parquet(cpath)
+    evald.write.parquet(epath)
+    out = str(base / "wh_decon")
+    res = _run_inproc(
+        capsys,
+        ["decontaminate", "--docs", cpath, "--eval", epath,
+         "--output", out, "--k", "3", "--spans"],
+    )
+    assert res["rows"] == 2 and res["contaminated"] == 1 and res["spans"] == 1
+    spans = spark.read.parquet(f"{out}/contaminated_spans").collect()
+    assert [(r["id"], r["start_token"], r["end_token"]) for r in spans] == [
+        (1, 2, 6)
+    ]
+
+
 def test_cli_prepare_stream_incremental(spark, graph_dirs, capsys):
     """Two invocations over a growing source directory: the second admits
     only genuinely new content (checkpoint state persists across runs)."""

@@ -588,6 +588,40 @@ def test_decontaminate(spark, docs):
     assert out[1]["n_hits"] == 7  # all 7 of doc 1's 3-grams appear
 
 
+def test_contaminated_spans(spark):
+    from graph_computing_go_spark.operators.dedup import contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),  # hits at pos 2,3 merge; 9 alone
+            (2, "x y z c d e"),
+            (3, "no overlap here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "c d e f"), (101, "j k l")], "doc_id long, text string"
+    )
+    rows = sorted(map(tuple, contaminated_spans(corpus, evald, k=3).collect()))
+    # overlapping k-gram hits merge into maximal [start, end) token spans
+    assert rows == [(1, 2, 6), (1, 9, 12), (2, 3, 6)]
+
+
+def test_multimodal_error_stubs(spark, docs):
+    import pyspark.errors
+
+    from graph_computing_go_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    media = synthesize_media(docs, "doc_id", "text")
+    with pytest.raises(pyspark.errors.PySparkException):
+        resize_media(media, 2, 2, decode_stub="error").collect()
+    with pytest.raises(pyspark.errors.PySparkException):
+        sample_frames(media, 2, decode_stub="error").collect()
+
+
 def test_stratified_sample(spark):
     from graph_computing_go_spark.operators.sampling import stratified_sample
 
