@@ -94,7 +94,13 @@ def pack_sequences(
     any realistic shard count).  Deterministic under any input
     partitioning: shard = portable_hash(id) % n_shards, docs packed in
     ascending id order within the shard.  Requires integer ids (the output
-    schema is ``id long``); shard routing itself is type-generic."""
+    schema is ``id long``); shard routing itself is type-generic.
+
+    Sizing ``n_shards``: it is BOTH the parallelism bound (one sequential
+    packing task per shard) and part of the pack identity — the same value
+    must be used on re-runs for identical packs.  The default 256 suits
+    the sandbox; at 100 TB pick n_shards so a shard holds ~1-4 GB of rows
+    (e.g. 50k-100k shards) and record it with the dataset."""
     if target_tokens <= 0:
         raise ValueError("target_tokens must be positive")
     import pandas as pd
