@@ -1141,17 +1141,43 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         td = os.path.join(tempfile.gettempdir(), "gcgs_tmp")
     rt = f"{td}/code_repos_roundtrip_{spark.sparkContext.applicationId}"
-    # prune siblings from finished applications (mtime > 24h keeps any
-    # genuinely concurrent driver safe — driver runs are minutes, not a day)
-    # so per-app dirs don't accumulate
+    # prune siblings keyed on LIVENESS, not age: each dir carries its
+    # owner's PID (written below); a sibling is reclaimed only when that
+    # process is gone, so a long-running concurrent driver can never lose
+    # its live dir.  Markerless dirs (older layout / torn write) fall back
+    # to mtime > 24h.
     import glob
     import shutil
     import time
 
+    def _owner_alive(d: str) -> bool | None:
+        try:
+            pid = int(open(os.path.join(d, ".owner_pid")).read().strip())
+        except (OSError, ValueError):
+            return None  # no marker — caller applies the mtime fallback
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else — leave it
+
     for old in glob.glob(f"{td}/code_repos_roundtrip_*"):
-        if old != rt and time.time() - os.path.getmtime(old) > 24 * 3600:
+        if old == rt:
+            continue
+        alive = _owner_alive(old)
+        dead = (alive is False) or (
+            alive is None and time.time() - os.path.getmtime(old) > 24 * 3600
+        )
+        if dead:
             shutil.rmtree(old, ignore_errors=True)
     repos.write.mode("overwrite").parquet(rt)
+    try:
+        with open(os.path.join(rt, ".owner_pid"), "w") as fh:
+            fh.write(str(os.getpid()))
+    except OSError:
+        pass  # marker is best-effort; mtime fallback still applies
     ingested = spark.read.parquet(rt)
     verify_content_sha256(repos, ingested)
     return build_edge_table(ingested).select(

@@ -389,9 +389,25 @@ def cmd_chunk(args):
     n_chunks = chunks.count()
     extra = {}
     if args.pack_target:
+        # Synthesized pack ids must be long arithmetic: int*int wraps
+        # silently in Spark (CLAUDE.md invariant), colliding for id >= 2048.
+        # chunk_idx < 2^20 is enforced loudly rather than assumed.
         packs = pack_sequences(
             chunks.select(
-                (F.col("id") * (1 << 20) + F.col("chunk_idx")).alias("doc_id"),
+                (
+                    F.col("id").cast("long") * F.lit(1 << 20).cast("long")
+                    + F.col("chunk_idx").cast("long")
+                    # assert_true is NULL on success; coalesce keeps the sum.
+                    + F.coalesce(
+                        F.assert_true(
+                            F.col("chunk_idx") < F.lit(1 << 20),
+                            F.lit(
+                                "chunk_idx >= 2^20 would collide pack doc_ids"
+                            ),
+                        ).cast("long"),
+                        F.lit(0).cast("long"),
+                    )
+                ).alias("doc_id"),
                 "n_tokens",
             ),
             target_tokens=args.pack_target,

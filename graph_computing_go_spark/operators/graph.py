@@ -94,6 +94,13 @@ def min_in_degree_filter(edges: DataFrame, min_deg: int = 2) -> DataFrame:
     return current_in_degree(edges).filter(F.col("cnt") >= min_deg).select("id")
 
 
+# monotonically_increasing_id reserves the low 33 bits for the
+# in-partition ordinal; any range partition holding >= 2^33 rows would
+# wrap silently.  Module-level so tests can shrink it to prove the
+# folded assert_true guard actually fires through the real plan.
+_ORDINAL_LIMIT = 1 << 33
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list,
@@ -138,7 +145,7 @@ def global_row_number(
         )
         guard = F.coalesce(
             F.assert_true(
-                F.col("__mid") < F.lit(1 << 33),
+                F.col("__mid") < F.lit(_ORDINAL_LIMIT),
                 F.lit(
                     "global_row_number: a range partition exceeds 2^33 rows — "
                     "raise num_partitions"
@@ -173,7 +180,7 @@ def global_row_number(
     # past 2^33 rows and silently wrap the ordinals; fail loudly instead
     guard = F.coalesce(
         F.assert_true(
-            F.col("__c") < F.lit(1 << 33),
+            F.col("__c") < F.lit(_ORDINAL_LIMIT),
             F.lit(
                 "global_row_number: a range partition exceeds 2^33 rows — "
                 "raise num_partitions"

@@ -81,6 +81,11 @@ def extract_features(
     ``decode_stub='fake'``: per-payload byte-histogram features (n_bins
     buckets, L1-normalized) + mean byte value — deterministic, so testable.
     ``decode_stub='error'``: the seam where a real codec goes.
+
+    Bin contract: byte ``b`` lands in bin ``min(b // (256 // n_bins),
+    n_bins - 1)`` — when ``256 % n_bins != 0`` the LAST bin is wider and
+    absorbs the remainder (the feature vector is always exactly ``n_bins``
+    long; no overflow bin).
     """
     import numpy as np
     import pandas as pd

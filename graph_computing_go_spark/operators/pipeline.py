@@ -13,11 +13,12 @@ Every INPUT row comes back exactly once: curation at scale is judged on its
 ledger (what was dropped and WHY, per stage) as much as on the kept set, and
 recomputing drop reasons post-hoc costs another full pass.
 
-Scale shape: quality is a row-local projection; language-ID is one explode +
-broadcast stopword join + two-stage count (operators/text.py:51); dedup runs
-ONLY on the quality+language survivors — the cheap row-local filters come
-first precisely so the expensive candidate-pair stage sees the smallest
-possible corpus.  All reassembly joins are doc-grain equi-joins on the id.
+Scale shape: quality AND language-ID are row-local projections (zero
+exchanges — language_id is a per-row stopword-hit argmax, operators/text.py
+``language_cols``); dedup runs ONLY on the quality+language survivors — the
+cheap row-local filters come first precisely so the expensive candidate-pair
+stage sees the smallest possible corpus.  All reassembly joins are doc-grain
+equi-joins on the id.
 """
 
 from __future__ import annotations
@@ -48,9 +49,10 @@ def prepare_training_corpus(
     q = quality_score(df, id_col, text_col).select(id_col, "score")
     lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
     # narrow (id, score, pred_lang) metadata, CACHED: it is consumed twice
-    # (the eligibility filter feeding dedup, then the final ledger join) and
-    # without the cache the language-ID explode would execute once per
-    # consumer.  Deliberately excludes the text column — at 100 TB the text
+    # (the eligibility filter feeding dedup, then the final ledger join);
+    # the cache avoids recomputing the quality/language projections — cheap
+    # but corpus-sized — per consumer.  Deliberately excludes the text
+    # column — at 100 TB the text
     # is the corpus; the gate columns are 3 scalars per doc.  LEFT join:
     # language_id emits no row for a NULL-text doc (exploding a null token
     # array yields zero rows), and an inner join here would silently drop

@@ -296,6 +296,29 @@ def test_cli_chunk_and_pack(spark, graph_dirs, capsys):
     assert all(v <= 16 for v in fills.values())
 
 
+def test_cli_pack_ids_no_int_wrap(spark, graph_dirs, capsys):
+    """ADVICE r3 (medium): int-typed doc ids >= 2048 wrapped in the
+    synthesized pack doc_id (id * 2^20 in int arithmetic) — ids 2048 and
+    6144 collided at -2^31.  The long-cast fix must keep them distinct."""
+    base, _, _ = graph_dirs
+    docs = spark.createDataFrame(
+        [(2048, "one two"), (6144, "three four")],
+        "doc_id int, text string",
+    )
+    dpath = str(base / "wrap_docs")
+    docs.write.parquet(dpath)
+    out = str(base / "wh_wrap")
+    res = _run_inproc(
+        capsys,
+        ["chunk", "--docs", dpath, "--output", out,
+         "--max-tokens", "8", "--overlap", "0", "--pack-target", "100"],
+    )
+    assert res["rows"] == 2
+    packs = spark.read.parquet(f"{out}/packs")
+    ids = sorted(r["id"] for r in packs.select("id").collect())
+    assert ids == [2048 * (1 << 20), 6144 * (1 << 20)]
+
+
 def test_cli_decontaminate(spark, graph_dirs, capsys):
     base, _, _ = graph_dirs
     corpus = spark.createDataFrame(

@@ -59,6 +59,39 @@ def test_global_row_number_single_partition_guarded(spark):
     assert got == [(10, 3), (20, 2), (30, 1)]
 
 
+def test_global_row_number_guard_fires_single_partition(spark, monkeypatch):
+    """The folded 2^33 ordinal guard must FAIL LOUDLY, not wrap (VERDICT r3
+    wrong #2).  Shrinking _ORDINAL_LIMIT exercises the real plan: 5 rows in
+    one range partition against a limit of 4 must raise through the
+    assert_true folded into the rank column."""
+    import pyspark.errors
+
+    import graph_computing_go_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_ORDINAL_LIMIT", 4)
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(pyspark.errors.PySparkException, match="2\\^33"):
+        global_row_number(df, [F.asc("id")], "rank", num_partitions=1).collect()
+
+
+def test_global_row_number_guard_fires_multi_partition(spark, monkeypatch):
+    """Multi-partition branch: a per-partition COUNT >= the limit trips the
+    guard folded into the offset table (skew protection, not just average
+    size)."""
+    import pyspark.errors
+
+    import graph_computing_go_spark.operators.graph as g
+
+    monkeypatch.setattr(g, "_ORDINAL_LIMIT", 4)
+    df = spark.createDataFrame([(i,) for i in range(16)], "id long")
+    import pytest as _pytest
+
+    with _pytest.raises(pyspark.errors.PySparkException, match="2\\^33"):
+        global_row_number(df, [F.asc("id")], "rank", num_partitions=2).collect()
+
+
 def _ngd_python(edges, core, n):
     """Reference double-loop (wikipediaGoogleDistance.go:91-136) in python."""
     insets = {c: set() for c in core}
