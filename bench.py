@@ -5,7 +5,10 @@ Two sections:
 1. **micro** — the oracle-checked queries (statistics suite + iterative
    algorithms) on the sf-dir derived graph.  These validate end-to-end
    latency but the sf0.1 graph is only ~500 vertices, so they are
-   overhead-bound and deliberately NOT the scaling metric.
+   overhead-bound and deliberately NOT the scaling metric.  Each micro is
+   timed cold once, then re-run SPARK_GRAFT_WARM_N (default 3) times with
+   the warm median reported in ``queries_warm`` — round-over-round deltas
+   compare warm-to-warm (cold shots carry ±2× session/VM noise).
 2. **scale** — PageRank (5 supersteps) + connected components
    (to convergence) on a deterministically synthesized 60M-edge / 3M-vertex
    graph with hub skew (hash arithmetic over spark.range — no external
@@ -80,30 +83,58 @@ def main() -> None:
     scale_only = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "") == "1"
 
     times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
+    # Warm-vs-cold protocol (VERDICT r3 #1): each micro query is timed once
+    # COLD (first execution in the session: plan analysis + codegen + JIT +
+    # page-cache fill) and then re-run SPARK_GRAFT_WARM_N times, reporting
+    # the WARM MEDIAN.  Round-over-round regressions compare warm-to-warm —
+    # six r3 full-bench samples disagreed 2× on individual cold micros
+    # (in_degree_count 5.8-11.9 s) purely from session history/VM noise.
+    # SPARK_GRAFT_WARM_N=0 restores the single-cold-shot protocol.
+    warm_n = int(os.environ.get("SPARK_GRAFT_WARM_N", "3"))
+
+    def timed(name: str, thunk) -> None:
+        t0 = time.time()
+        thunk()
+        times[name] = round(time.time() - t0, 3)
+        if warm_n > 0:
+            ws = []
+            for _ in range(warm_n):
+                t0 = time.time()
+                thunk()
+                ws.append(time.time() - t0)
+            times_warm[name] = round(sorted(ws)[len(ws) // 2], 3)
+
     n_edges = pr_iters = cc_iters = 0
     if not scale_only:
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
-            t0 = time.time()
-            fn(spark, sf_dir).collect()
-            times[name] = round(time.time() - t0, 3)
+            timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
         edges = derive_edges(spark, sf_dir).cache()
         n_edges = edges.count()
 
-        t0 = time.time()
-        ranks, pr_iters = pagerank(edges, tol=1e-6, max_iter=100)
-        ranks.collect()
-        times["pagerank"] = round(time.time() - t0, 3)
+        pr_iters_box: list[int] = []
 
-        t0 = time.time()
-        comps, cc_iters = connected_components(edges)
-        comps.collect()
-        times["connected_components"] = round(time.time() - t0, 3)
+        def run_pr() -> None:
+            ranks, it = pagerank(edges, tol=1e-6, max_iter=100)
+            ranks.collect()
+            pr_iters_box.append(it)
 
-        t0 = time.time()
-        triangle_count(edges).collect()
-        times["triangle_count"] = round(time.time() - t0, 3)
+        timed("pagerank", run_pr)
+        pr_iters = pr_iters_box[0]
+
+        cc_iters_box: list[int] = []
+
+        def run_cc() -> None:
+            comps, it = connected_components(edges)
+            comps.collect()
+            cc_iters_box.append(it)
+
+        timed("connected_components", run_cc)
+        cc_iters = cc_iters_box[0]
+
+        timed("triangle_count", lambda: triangle_count(edges).collect())
 
     # ---- scale section: synthesized big graph --------------------------
     big = synth_graph(spark, n_edges=60_000_000, n_vertices=3_000_000).cache()
@@ -263,6 +294,8 @@ def main() -> None:
                 "value": eps,
                 "unit": "edges/sec",
                 "queries": times,
+                "queries_warm": times_warm,
+                "warm_n": warm_n,
                 "sf": sf,
                 "cpus": cpus,
                 "micro_n_edges": n_edges,

@@ -65,6 +65,65 @@ def chunk_documents(
     ).withColumn("n_tokens", F.size(tokens_col("chunk_text")))
 
 
+def _next_fit_ordinals(sizes, target: int, fill0: int = 0):
+    """Exact next-fit bin ordinals for ONE shard segment — fully vectorized
+    (numpy cumsum + searchsorted bin boundaries + pointer-doubling chain
+    enumeration; no per-row Python loop).
+
+    Semantics match the sequential rule: an item joins the open bin when
+    ``fill + n <= target`` OR ``fill == 0`` (zero-size items never close a
+    bin, so the first non-zero item always joins — even oversized; an
+    oversized item then closes the bin for whatever follows).  ``fill0``
+    carries the previous batch's open-bin fill, so ordinals are relative to
+    that open bin.  Returns ``(ordinals int64 array, fill of the last bin)``.
+    """
+    import numpy as np
+
+    sizes = np.asarray(sizes, dtype=np.int64)
+    if len(sizes) == 0:
+        return np.empty(0, dtype=np.int64), fill0
+    sentinel = fill0 > 0
+    if sentinel:
+        # the open bin's current fill behaves exactly like a first item of
+        # that size already sitting in bin 0
+        sizes = np.concatenate([np.array([fill0], dtype=np.int64), sizes])
+    n = sizes
+    m = len(n)
+    csum = np.cumsum(n)  # inclusive prefix sums
+    base = csum - n  # exclusive prefix sums
+    idx = np.arange(m, dtype=np.int64)
+    # bin starting at j ends before g[j]: the first index whose inclusive
+    # sum exceeds base[j] + target — but never before j+1 (a bin holds at
+    # least one item) nor before the first non-zero item at/after j (fill
+    # stays 0 across zero-size items, so that item joins unconditionally)
+    g = np.searchsorted(csum, base + target, side="right")
+    nz = np.flatnonzero(n)
+    if len(nz):
+        pos = np.searchsorted(nz, idx, side="left")
+        firstnz = np.where(pos < len(nz), nz[np.minimum(pos, len(nz) - 1)], m - 1)
+    else:
+        # all-zero segment: everything stays in the open bin
+        firstnz = np.full(m, m - 1, dtype=np.int64)
+    g = np.maximum(np.maximum(g, idx + 1), np.minimum(firstnz + 1, m))
+    # enumerate the bin-start chain 0 -> g[0] -> g[g[0]] -> ... by pointer
+    # doubling: after round k, starts holds the first 2^k chain nodes and
+    # jump is the 2^k-step table (index m is its fixed point).  g is
+    # non-decreasing, so each gathered block is sorted and the chain is
+    # complete the moment a block reaches m.  O(m log bins), all numpy.
+    jump = np.append(g, m)
+    starts = np.array([0], dtype=np.int64)
+    while True:
+        nxt = jump[starts]
+        if nxt[-1] >= m:
+            starts = np.concatenate([starts, nxt[nxt < m]])
+            break
+        starts = np.concatenate([starts, nxt])
+        jump = jump[jump]
+    ordinals = np.searchsorted(starts, idx, side="right") - 1
+    last_fill = int(csum[-1] - base[starts[-1]])
+    return (ordinals[1:] if sentinel else ordinals), last_fill
+
+
 def _portable_hash(col):
     """31-base polynomial rolling hash mod 2^31-1 over the id's string form
     — engine-portable (same family as operators/text.fingerprint), so shard
@@ -117,24 +176,38 @@ def pack_sequences(
         .sortWithinPartitions("__shard", "id")
     )
 
+    import numpy as np
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # state spans batches WITHIN a partition: mapInPandas feeds one
         # partition's batches to one kernel instance in order, so next-fit
-        # carries (shard, ordinal, fill) across batch boundaries
-        cur_shard, ordinal, fill = None, -1, 0
+        # carries (shard, ordinal, fill) across batch boundaries.  The
+        # packing itself is vectorized (_next_fit_ordinals); the only Python
+        # loop is over contiguous SHARD RUNS in the batch (a handful per
+        # partition), not rows.
+        cur_shard, ordinal, fill = None, 0, 0
         for pdf in batches:
-            out_pack = []
-            for shard, n in zip(pdf["__shard"], pdf["n_tokens"]):
-                n = int(n)
-                if shard != cur_shard:
-                    cur_shard, ordinal, fill = shard, 0, n
-                elif fill + n > target_tokens and fill > 0:
-                    ordinal, fill = ordinal + 1, n
-                else:
-                    fill += n
-                out_pack.append((int(shard) << 33) | ordinal)
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"pack_id": [], "id": [], "n_tokens": []}
+                ).astype({"pack_id": "int64", "id": "int64", "n_tokens": "int64"})
+                continue
+            shards = pdf["__shard"].to_numpy()
+            sizes = pdf["n_tokens"].to_numpy(dtype=np.int64)
+            pack = np.empty(len(pdf), dtype=np.int64)
+            bounds = np.flatnonzero(np.diff(shards)) + 1
+            edges = np.concatenate(([0], bounds, [len(pdf)]))
+            for a, b in zip(edges[:-1], edges[1:]):
+                s = int(shards[a])
+                base, f0 = (ordinal, fill) if s == cur_shard else (0, 0)
+                ords, fill = _next_fit_ordinals(
+                    sizes[a:b], target_tokens, f0
+                )
+                ords = ords + base
+                pack[a:b] = (s << 33) | ords
+                cur_shard, ordinal = s, int(ords[-1])
             res = pdf[["id", "n_tokens"]].copy()
-            res.insert(0, "pack_id", out_pack)
+            res.insert(0, "pack_id", pack)
             yield res
 
     return routed.mapInPandas(

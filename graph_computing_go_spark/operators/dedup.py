@@ -620,12 +620,42 @@ def embedding_near_dup(
     )
 
 
+# auto broadcast cutoff for the eval k-gram set: eval suites up to this many
+# DOCUMENTS keep the broadcast fast-path (a 50k-doc suite at ~1k grams/doc is
+# ~tens of MB hashed — inside a healthy driver budget); above it the gram set
+# would blow the broadcast threshold, so fall back to a shuffle semi-join.
+_BCAST_EVAL_MAX_DOCS = 50_000
+
+
+def _eval_gram_set(
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    broadcast_eval: bool | None,
+):
+    """DISTINCT eval k-grams, broadcast-hinted when small.
+
+    ``broadcast_eval``: True/False forces the path; None counts eval DOCS
+    (one cheap scan of the small-by-contract side — never the corpus) and
+    broadcasts under ``_BCAST_EVAL_MAX_DOCS``.  The shuffle path exchanges
+    the corpus shingle rows on the gram key — the unavoidable cost of a
+    100M-gram eval corpus; hot boilerplate grams skew that exchange, which
+    AQE's skew-join handles (the eval side is DISTINCT, so only the corpus
+    side fans out)."""
+    grams = shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
+    if broadcast_eval is None:
+        broadcast_eval = eval_df.count() <= _BCAST_EVAL_MAX_DOCS
+    return F.broadcast(grams) if broadcast_eval else grams
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """(id, n_hits, contaminated): benchmark decontamination — flag corpus
     documents sharing any word-``k``-gram with an evaluation set.
@@ -636,16 +666,17 @@ def decontaminate(
     common operating point (large enough that sharing a k-gram is
     de-facto copying, small enough to catch partial quotes).
 
-    Scale shape: eval suites are small (thousands of documents), so the
-    DISTINCT eval k-gram set broadcast-joins against the corpus's raw
+    Scale shape: eval suites are usually small (thousands of documents), so
+    the DISTINCT eval k-gram set broadcast-joins against the corpus's raw
     shingle rows (``shingle_rows`` — duplicate-insensitive consumer, no
     distinct exchange on the corpus side); one doc-grain aggregation
     counts hits.  Every corpus document comes back exactly once
-    (contaminated = n_hits > 0), ledger-style.
+    (contaminated = n_hits > 0), ledger-style.  ``broadcast_eval`` picks
+    the join strategy (None = auto by eval doc count): a 100M-gram eval
+    corpus exceeds any broadcast budget and takes the shuffle semi-join
+    instead (see ``_eval_gram_set``).
     """
-    eval_grams = F.broadcast(
-        shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
-    )
+    eval_grams = _eval_gram_set(eval_df, id_col, text_col, k, broadcast_eval)
     hits = (
         shingle_rows(corpus, id_col, text_col, k)
         .join(eval_grams, "shingle", "left_semi")
@@ -669,6 +700,7 @@ def contaminated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """(id, start_token, end_token): merged token spans of every corpus
     k-gram that appears in the evaluation set — the masking-grade variant
@@ -699,9 +731,7 @@ def contaminated_spans(
     pos_rows = toked.select(
         "id", F.posexplode(sh_arr).alias("pos", "shingle")
     )
-    eval_grams = F.broadcast(
-        shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
-    )
+    eval_grams = _eval_gram_set(eval_df, id_col, text_col, k, broadcast_eval)
     hit_starts = (
         pos_rows.join(eval_grams, "shingle", "left_semi")
         .groupBy("id")
