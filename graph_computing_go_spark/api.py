@@ -290,15 +290,12 @@ def q_multilayer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6/A7 (distanceComplexity.go:151-287) on weighted derived edges."""
     wedges = derive_wedges(spark, sf_dir)
-    ids = (
-        wedges.select(F.col("a").alias("id"))
-        .unionByName(wedges.select(F.col("b").alias("id")))
-        .distinct()
-    )
+    ids = wedges.select(F.explode(F.array("a", "b")).alias("id")).distinct()
     cats = ids.select(
         "id", F.array(F.chr(F.lit(97) + (F.col("id") % 3))).alias("cats")
     )
-    df = distance_complexity(wedges, cats)
+    # derive_wedges emits one (a>b) row per undirected edge by construction
+    df = distance_complexity(wedges, cats, assume_canonical=True)
     return df.select(F.round("big", 6).alias("big"), F.round("little", 6).alias("little"))
 
 
@@ -1440,11 +1437,10 @@ def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFr
         F.greatest("src", "dst").alias("a"),
         F.least("src", "dst").alias("b"),
     ).agg(F.count("*").cast("double").alias("distance")).cache()
-    ids = (
-        wedges.select("year", "discipline", F.col("a").alias("id"))
-        .unionByName(wedges.select("year", "discipline", F.col("b").alias("id")))
-        .distinct()
-    )
+    # one scan of the cached wedges instead of two (explode both endpoints)
+    ids = wedges.select(
+        "year", "discipline", F.explode(F.array("a", "b")).alias("id")
+    ).distinct()
     cats = ids.select(
         "year",
         "discipline",
@@ -1456,7 +1452,11 @@ def q_discipline_distance_complexity(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         ).alias("cats"),
     )
-    df = distance_complexity(wedges, cats, group=["year", "discipline"])
+    # wedges comes out of a groupBy on (year, discipline, greatest, least) —
+    # already canonical and unique, so skip the re-canonicalizing shuffle
+    df = distance_complexity(
+        wedges, cats, group=["year", "discipline"], assume_canonical=True
+    )
     # df is materialized (localCheckpoint inside distance_complexity), so the
     # routed-edge cache can retire with the call — except in the lazy
     # plan-audit mode, where unpersisting pre-collect would drop the shared

@@ -114,8 +114,12 @@ def _with_copies(wedges: DataFrame, categories: DataFrame, group: list[str]):
         "__rn",
     )
     if group:
+        # max_df is GROUP-grain (one row per work key — bounded by the
+        # number of (year, discipline) keys, never by graph size), so
+        # broadcasting is safe and saves a shuffle of the ranked copies;
+        # the no-vertex-grain-broadcast invariant does not apply
         copies = (
-            ranked.join(max_df, list(group))
+            ranked.join(F.broadcast(max_df), list(group))
             .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
             .drop("__max_id", "__rn")
         )
@@ -153,6 +157,7 @@ def distance_complexity(
     wedges: DataFrame,
     categories: DataFrame | None = None,
     group: list[str] | None = None,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """(group..., big, little) — one row per group (one row total when
     ``group`` is empty/None).
@@ -161,17 +166,41 @@ def distance_complexity(
     ``categories``: (group..., id, cats array<string>) or None → little is
     null.  ``group``: names of the work-key columns present in BOTH inputs
     (e.g. ``["year", "discipline"]``), or None for a single graph.
+    ``assume_canonical``: the caller guarantees one row per undirected edge
+    with a > b already (true for ``derive_wedges``-shaped inputs, which come
+    out of a groupBy on exactly these keys) — skips a full-table canonical
+    re-shuffle + distinct that Catalyst cannot elide on its own.
     """
     group = list(group or [])
-    e = _canonical(wedges, group)
+    if assume_canonical:
+        e = wedges.select(
+            *group, "a", "b", F.col("distance").cast("double").alias("w")
+        )
+    else:
+        e = _canonical(wedges, group)
     node_cat = None
     if categories is not None:
+        # categories feeds the max-id aggregate, the multi-cat copy
+        # derivation, AND the node→cat table — without a cache the caller's
+        # plan (typically a distinct over the edge-endpoint union) re-executes
+        # per consumer (measured 3 redundant exchanges at sf0.1)
+        categories = categories.cache()
         e, node_cat = _with_copies(e, categories, group)
-    e = e.cache()
+    # cache partitioned on the a-side tag-join key: the join below then
+    # probes it exchange-free, and every consumer reads uniform partitions
+    # instead of the ragged union layout
+    e = e.repartition(
+        int(wedges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        *group,
+        "a",
+    ).cache()
 
-    # ---- big: no membership check, copies' shared maps already materialized
-    incident = e.select(*group, F.col("a").alias("id"), "w").unionByName(
-        e.select(*group, F.col("b").alias("id"), "w")
+    # ---- big: no membership check, copies' shared maps already materialized.
+    # explode(array(a, b)) emits both endpoints in ONE scan of the edge cache
+    # — the union-of-two-selects formulation reads it twice (2x cache scans
+    # and map tasks for identical shuffle bytes)
+    incident = e.select(
+        *group, F.explode(F.array("a", "b")).alias("id"), "w"
     )
     per_node = _node_entropy(incident, group)
     big = per_node.groupBy(*group).agg(
@@ -192,8 +221,18 @@ def distance_complexity(
         return out
 
     # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
-    # copy maps above stay broadcast in ungrouped mode — they are small there
-    nc = node_cat
+    # copy maps above stay broadcast in ungrouped mode — they are small
+    # there.  Cache it partitioned on the join key: it is probed twice
+    # (a-side, b-side — alias-aware output partitioning carries the
+    # hash(group..., id) layout through both renames), and its lineage
+    # contains the whole copy/row-number machinery, which would otherwise
+    # re-execute per join (measured at sf0.1: the two tag joins were the
+    # single most expensive stage group of the grouped lifecycle query).
+    nc = node_cat.repartition(
+        int(wedges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        *group,
+        "id",
+    ).cache()
     tagged = (
         e.join(
             nc.select(*group, F.col("id").alias("a"), F.col("cat").alias("cat_a")),
@@ -204,37 +243,49 @@ def distance_complexity(
         )
     ).cache()
 
-    vall = tagged.groupBy(*group).agg((F.sum("w") * 2).alias("vall"))
-
     intra = tagged.filter(F.col("cat_a") == F.col("cat_b"))
     intra_incident = intra.select(
-        *group, F.col("cat_a").alias("cat"), F.col("a").alias("id"), "w"
-    ).unionByName(
-        intra.select(*group, F.col("cat_a").alias("cat"), F.col("b").alias("id"), "w")
+        *group,
+        F.col("cat_a").alias("cat"),
+        F.explode(F.array("a", "b")).alias("id"),
+        "w",
     )
     node_h = _node_entropy(intra_incident, [*group, "cat"])
-    mod_inner = intra.groupBy(*group, F.col("cat_a").alias("cat")).agg(
-        (F.sum("w") * 2).alias("inner")
-    )
-    # hModule = sum_i (s_i / inner) * h_i
-    h_module = (
-        node_h.join(mod_inner, [*group, "cat"])
-        .groupBy(*group, "cat")
-        .agg(
-            (F.sum(F.col("s") * F.col("h")) / F.first("inner")).alias("h_module"),
-            F.first("inner").alias("inner"),
-        )
+    # hModule = sum_i (s_i / inner) * h_i with inner = 2*sum(intra w); each
+    # intra edge contributes w to BOTH endpoints' s, so sum_i s_i == inner —
+    # one aggregation over node_h replaces the separate module-sum pass over
+    # the edge cache AND the (module)-key join that fed it
+    h_module = node_h.groupBy(*group, "cat").agg(
+        (F.sum(F.col("s") * F.col("h")) / F.sum("s")).alias("h_module"),
+        F.sum("s").alias("inner"),
     )
     cross = tagged.filter(F.col("cat_a") != F.col("cat_b"))
     outer = (
-        cross.select(*group, F.col("cat_a").alias("cat"), "w")
-        .unionByName(cross.select(*group, F.col("cat_b").alias("cat"), "w"))
+        cross.select(
+            *group, F.explode(F.array("cat_a", "cat_b")).alias("cat"), "w"
+        )
         .groupBy(*group, "cat")
         .agg(F.sum("w").alias("outer"))
     )
+    # vall = 2*sum(all w) = sum(inner over modules) + sum(outer over ALL
+    # modules): every intra edge's 2w lands in exactly one module's inner,
+    # every cross edge's w lands in both its endpoints' outer — so vall
+    # folds out of the two aggregates already computed instead of a third
+    # full scan + exchange of the tagged edge cache.  The full join keeps
+    # cross-only groups (no intra edge anywhere): their little row is
+    # dropped later exactly as before (h_module has no row to join).
+    vi = h_module.groupBy(*group).agg(F.sum("inner").alias("__vi"))
+    vo = outer.groupBy(*group).agg(F.sum("outer").alias("__vo"))
+    vall = (vi.join(vo, list(group), "full") if group else vi.crossJoin(vo)).select(
+        *group,
+        (
+            F.coalesce("__vi", F.lit(0.0)) + F.coalesce("__vo", F.lit(0.0))
+        ).alias("vall"),
+    )
     per_mod = h_module.join(outer, [*group, "cat"], "left")
     if group:
-        per_mod = per_mod.join(vall, list(group))
+        # group-grain (one row per work key) — broadcast, same as max_df
+        per_mod = per_mod.join(F.broadcast(vall), list(group))
     else:
         per_mod = per_mod.crossJoin(F.broadcast(vall))
     per_mod = per_mod.select(
@@ -261,5 +312,7 @@ def distance_complexity(
     if eager_results():
         out = out.localCheckpoint()
         tagged.unpersist()
+        nc.unpersist()
+        categories.unpersist()
         e.unpersist()
     return out

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_computing_go_spark.operators.text import tokens_col
+from graph_computing_go_spark.operators.text import tokens_expr
 
 
 def chunk_documents(
@@ -34,12 +34,22 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 512,
     overlap: int = 0,
+    tokenizer=None,
 ) -> DataFrame:
     """(id, chunk_idx, chunk_text, n_tokens): token windows of at most
     ``max_tokens``, consecutive windows sharing ``overlap`` tokens.  Every
     non-NULL document yields at least one chunk (short docs → one chunk of
     themselves); NULL text yields no row (the corpus pipeline's gates
-    already ledger those)."""
+    already ledger those).
+
+    ``tokenizer`` (see ``text.tokenizer_udf``) swaps the whitespace default
+    for an Arrow-batched model tokenizer — windows, ``n_tokens``, and hence
+    every downstream ``pack_sequences`` budget are then measured in ITS
+    tokens.  ``chunk_text`` is the space-join of the window either way, so a
+    sub-word tokenizer should emit surface forms whose space-join is an
+    acceptable chunk rendering (or the caller re-detokenizes).  Determinism
+    of chunks AND packs then depends on the tokenizer version — record it
+    with the dataset, exactly like ``n_shards``."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
     if not 0 <= overlap < max_tokens:
@@ -48,7 +58,7 @@ def chunk_documents(
     # token array materialized in a child projection under the Generate —
     # Catalyst does not CSE into HOF lambdas (same trap as shingles)
     toked = df.select(
-        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+        F.col(id_col).alias("id"), tokens_expr(text_col, tokenizer).alias("__toks")
     ).filter(F.col("__toks").isNotNull())
     toks = F.col("__toks")
     n = F.size(toks)
@@ -60,9 +70,23 @@ def chunk_documents(
         F.sequence(F.lit(0), n_win - 1),
         lambda w: F.concat_ws(" ", F.slice(toks, w * step + 1, max_tokens)),
     )
+    # n_tokens from window arithmetic (min(max_tokens, n - idx*step)): the
+    # window IS the token list, so re-tokenizing chunk_text would be both
+    # wasted work and wrong for sub-word tokenizers (space-join need not
+    # round-trip); identical values on the whitespace path (tokens cannot
+    # contain whitespace)
     return toked.select(
-        "id", F.posexplode(chunks).alias("chunk_idx", "chunk_text")
-    ).withColumn("n_tokens", F.size(tokens_col("chunk_text")))
+        "id",
+        F.size(toks).alias("__n"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).select(
+        "id",
+        "chunk_idx",
+        "chunk_text",
+        F.least(
+            F.lit(max_tokens), F.col("__n") - F.col("chunk_idx") * step
+        ).cast("int").alias("n_tokens"),
+    )
 
 
 def _next_fit_ordinals(sizes, target: int, fill0: int = 0):
@@ -154,6 +178,11 @@ def pack_sequences(
     partitioning: shard = portable_hash(id) % n_shards, docs packed in
     ascending id order within the shard.  Requires integer ids (the output
     schema is ``id long``); shard routing itself is type-generic.
+
+    ``n_tokens`` is whatever the upstream chunker counted — with a custom
+    ``tokenizer`` in ``chunk_documents``/``token_count``, pack budgets are
+    in THAT tokenizer's units and pack determinism additionally depends on
+    the tokenizer version (record it with the dataset).
 
     Sizing ``n_shards``: it is BOTH the parallelism bound (one sequential
     packing task per shard) and part of the pack identity — the same value

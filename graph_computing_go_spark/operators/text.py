@@ -36,10 +36,45 @@ def tokens_col(text: str | Column = "text") -> Column:
     return F.split(F.trim(c), r"\s+")
 
 
-def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens) — whitespace tokenization."""
+def tokenizer_udf(tokenizer):
+    """Wrap a Python tokenizer as an Arrow-batched ``pandas_udf`` returning
+    ``array<string>`` — the pluggable-tokenizer seam (mirrors the multimodal
+    codec seam: the Spark-side plumbing is real, the model is injected).
+
+    ``tokenizer``: callable ``pd.Series[str|None] -> pd.Series[list[str]|None]``
+    over a whole Arrow batch (vectorize inside it; never per row from Spark's
+    side).  It must map ``None`` text to ``None`` (→ the row is dropped by
+    the same isNotNull gate the whitespace path uses).  Built lazily —
+    ``pandas_udf`` with a DDL return type needs an active session (CLAUDE.md
+    invariant), so never call this at import time."""
+    from pyspark.sql.functions import pandas_udf
+
+    # non-decorator form: with `from __future__ import annotations` the
+    # decorator's type-hint parsing sees unresolvable strings
+    return pandas_udf(lambda s: tokenizer(s), "array<string>")
+
+
+def tokens_expr(text: str | Column = "text", tokenizer=None) -> Column:
+    """Token-array expression: the whitespace JVM fast path by default, the
+    Arrow-batched ``tokenizer`` seam when one is supplied."""
+    if tokenizer is None:
+        return tokens_col(text)
+    c = F.col(text) if isinstance(text, str) else text
+    return tokenizer_udf(tokenizer)(c)
+
+
+def token_count(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer=None,
+) -> DataFrame:
+    """(id, n_tokens) — whitespace tokenization by default; pass
+    ``tokenizer`` (see ``tokenizer_udf``) to count BPE-style tokens instead.
+    The default path is a pure column expression and stays bit-identical to
+    the DuckDB oracle."""
     return df.select(
-        F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens")
+        F.col(id_col), F.size(tokens_expr(text_col, tokenizer)).alias("n_tokens")
     )
 
 

@@ -638,6 +638,75 @@ def test_pack_sequences(spark):
     assert packs[2] == packs[3] != packs[1]
 
 
+def test_tokenizer_seam(spark):
+    """chunk/pack/token_count accept an Arrow-batched tokenizer hook; the
+    whitespace default stays the oracle-pinned fast path (VERDICT r3 #4)."""
+    from graph_computing_go_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+    from graph_computing_go_spark.operators.text import token_count
+
+    def _stub_bpe(series):
+        # deterministic non-whitespace stub: whitespace-split, then break
+        # every word into <=3-char pieces (BPE-ish — counts diverge from
+        # whitespace counts on any word longer than 3).  Defined INSIDE the
+        # test so cloudpickle ships it by value (tests/ is not importable
+        # on executors).
+        return series.map(
+            lambda t: None
+            if t is None
+            else [w[i : i + 3] for w in t.split() for i in range(0, len(w), 3)]
+        )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "hi"), (3, None)],
+        "doc_id long, text string",
+    )
+    # token_count: default counts words, stub counts 3-char pieces
+    tc_ws = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    assert tc_ws[1] == 3 and tc_ws[2] == 1
+    tc_bpe = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_count(docs, tokenizer=_stub_bpe).collect()
+    }
+    # alpha->al|pha? no: 3-char pieces: alp,ha / bet,a / gam,ma = 6
+    assert tc_bpe[1] == 6 and tc_bpe[2] == 1
+    # NULL text: same ledger row both paths (size(NULL) = -1, Spark default)
+    assert tc_bpe[3] == tc_ws[3] == -1
+
+    # chunking in stub-tokenizer units: doc 1 has 6 stub tokens -> windows
+    # of 4 with step 4 -> 2 chunks of 4 and 2 tokens
+    chunks = chunk_documents(docs, max_tokens=4, tokenizer=_stub_bpe).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append(r)
+    assert [r["n_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [4, 2]
+    assert by_doc[1][0]["chunk_text"] == "alp ha bet a"
+    assert by_doc[2][0]["chunk_text"] == "hi"
+    assert 3 not in by_doc  # NULL text yields no chunk row
+    # packing budgets are in tokenizer units and stay deterministic
+    ch = chunk_documents(docs, max_tokens=4, tokenizer=_stub_bpe)
+    packed = pack_sequences(
+        ch.selectExpr("id * 1048576 + chunk_idx as doc_id", "n_tokens"),
+        target_tokens=5,
+        n_shards=2,
+    )
+    rows = sorted(map(tuple, packed.collect()))
+    assert rows == sorted(map(tuple, packed.collect()))
+    fills = {}
+    for pid, _id, n in rows:
+        fills.setdefault(pid, 0)
+        fills[pid] += n
+    assert all(v <= 5 for v in fills.values())
+
+    # whitespace default unchanged: n_tokens from window arithmetic equals
+    # the old re-tokenize-the-chunk values
+    ws = chunk_documents(docs, max_tokens=2, overlap=1).collect()
+    for r in ws:
+        assert r["n_tokens"] == len(r["chunk_text"].split())
+
+
 def test_next_fit_vectorized_matches_loop():
     """The vectorized next-fit kernel must be bit-identical to the
     sequential rule it replaced (VERDICT r3 #8), including zero-size items,
