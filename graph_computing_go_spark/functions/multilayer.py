@@ -66,7 +66,6 @@ def _expanded_graph(vertices: DataFrame, edges: DataFrame):
         .withColumn("copy_id", F.col("__max_id") + F.col("__rn"))
         .drop("__max_id", "__rn")
     )
-    copy_map = copies.select(F.col("id").alias("orig"), "copy_id")
     nodes = base.unionByName(
         copies.select(F.col("copy_id").alias("id"), "cat")
     )
@@ -77,24 +76,50 @@ def _expanded_graph(vertices: DataFrame, edges: DataFrame):
         vertices.select(F.col("id").alias("dst")), "dst", "left_semi"
     ).join(vertices.select(F.col("id").alias("src")), "src", "left_semi")
 
-    cm = F.broadcast(copy_map)
-    e_src = e0.unionByName(
-        e0.join(cm, e0.src == cm.orig).select(F.col("copy_id").alias("src"), "dst")
+    # both-side copy fan-out in ONE pass: per-vertex copy LISTS (copy-grain,
+    # multi-category vertices only — broadcastable exactly like the old
+    # per-copy map) left-join each side, then explode(self ++ copies).  The
+    # previous union-of-unions shape (e0 ∪ e0⋈cm, then that ∪ that⋈cm)
+    # re-executed the double semi-join FOUR times per materialization of
+    # e_full; this lineage executes it once.  Row multiset is identical:
+    # (u,v) expands to {u}+copies(u) × {v}+copies(v).
+    cmg = F.broadcast(
+        copies.groupBy(F.col("id").alias("orig")).agg(
+            F.collect_list("copy_id").alias("__copies")
+        )
     )
-    e_full = e_src.unionByName(
-        e_src.join(cm, e_src.dst == cm.orig).select("src", F.col("copy_id").alias("dst"))
+    no_copies = F.array().cast("array<long>")
+    e_src = e0.join(cmg, e0.src == cmg.orig, "left").select(
+        F.explode(
+            F.concat(
+                F.array(F.col("src").cast("long")),
+                F.coalesce("__copies", no_copies),
+            )
+        ).alias("src"),
+        "dst",
+    )
+    e_full = e_src.join(cmg, e_src.dst == cmg.orig, "left").select(
+        "src",
+        F.explode(
+            F.concat(
+                F.array(F.col("dst").cast("long")),
+                F.coalesce("__copies", no_copies),
+            )
+        ).alias("dst"),
     )
     return nodes, e_full
 
 
 def _in_entropy(edges: DataFrame, group: list[str]) -> DataFrame:
-    """Unnormalized in-degree structural entropy per group (or global)."""
+    """Unnormalized in-degree structural entropy per group (or global).
+    Also emits ``S`` (= edge count of the group: sum of in-degrees) — the
+    per-module volume falls out of the same aggregation for free."""
     indeg = edges.groupBy(*group, "dst").agg(F.count("*").cast("double").alias("d"))
     agg = indeg.groupBy(*group).agg(
         F.sum("d").alias("S"), F.sum(F.col("d") * F.log2("d")).alias("dlogd")
     )
     return agg.select(
-        *group, (F.log2("S") - F.col("dlogd") / F.col("S")).alias("h")
+        *group, (F.log2("S") - F.col("dlogd") / F.col("S")).alias("h"), "S"
     )
 
 
@@ -112,28 +137,48 @@ def multilayer_structural_entropy(
     big = _in_entropy(e_full, []).select(F.col("h").alias("big"))
 
     # vertex-grain table: NO broadcast hint — at billion-vertex scale it
-    # cannot fit executor memory; AQE picks broadcast when genuinely small
-    n = nodes
+    # cannot fit executor memory; AQE picks broadcast when genuinely small.
+    # Cache it pre-partitioned on the join key (its lineage contains the
+    # whole copy/row-number machinery, which would otherwise re-execute per
+    # tag join; alias-aware output partitioning carries hash(id) through
+    # both the src and dst renames — same shape as distance_complexity).
+    n = nodes.repartition(
+        int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+        "id",
+    ).cache()
+    # tagged feeds the intra AND cross aggregations — cache it, or the two
+    # vertex-grain joins execute once per consumer
     tagged = (
         e_full.join(n.select(F.col("id").alias("src"), F.col("cat").alias("cat_src")), "src")
         .join(n.select(F.col("id").alias("dst"), F.col("cat").alias("cat_dst")), "dst")
-    )
-    # m = |E'| ; computed as a column so the whole result stays one Spark job
-    totals = tagged.agg(F.count("*").cast("double").alias("m"))
+    ).cache()
 
     intra = tagged.filter(F.col("cat_src") == F.col("cat_dst"))
-    mod_h = _in_entropy(intra.withColumnRenamed("cat_src", "cat"), ["cat"])
-    mod_vol = intra.groupBy(F.col("cat_src").alias("cat")).agg(
-        F.count("*").cast("double").alias("vol")
+    # h AND vol from ONE aggregation chain: vol_j (intra edge count) is the
+    # sum of module-j in-degrees, which _in_entropy already computes as S —
+    # the separate mod_vol count + module-key join were pure re-scans
+    mod = _in_entropy(intra.withColumnRenamed("cat_src", "cat"), ["cat"]).select(
+        "cat", "h", F.col("S").alias("vol")
     )
     mod_g = (
         tagged.filter(F.col("cat_src") != F.col("cat_dst"))
         .groupBy(F.col("cat_src").alias("cat"))
         .agg(F.count("*").cast("double").alias("g"))
     )
+    # m = |E'| = sum(vol) + sum(g): every expanded edge is either intra
+    # (lands in exactly one module's vol) or cross (counted once, by its
+    # src module, in g) — no third scan of the tagged cache needed
+    totals = (
+        mod.agg(F.sum("vol").alias("__mv"))
+        .crossJoin(mod_g.agg(F.sum("g").alias("__mg")))
+        .select(
+            (
+                F.coalesce("__mv", F.lit(0.0)) + F.coalesce("__mg", F.lit(0.0))
+            ).alias("m")
+        )
+    )
     per_mod = (
-        mod_vol.join(mod_h, "cat", "left")
-        .join(mod_g, "cat", "left")
+        mod.join(mod_g, "cat", "left")
         .crossJoin(F.broadcast(totals))
         .select(
             (
@@ -151,5 +196,7 @@ def multilayer_structural_entropy(
     out = big.crossJoin(little)
     if eager_results():
         out = out.localCheckpoint()
+        tagged.unpersist()
+        n.unpersist()
         e_full.unpersist()
     return out

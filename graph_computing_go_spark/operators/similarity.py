@@ -200,7 +200,7 @@ def lsh_ann_topk(
     df: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -208,6 +208,14 @@ def lsh_ann_topk(
 
     Same-bucket candidates only: recall trades against the n_planes-implied
     bucket count (2^n_planes).  Exact cosine re-ranking inside the bucket.
+
+    Measured on the seeded 100k-vector mixture bench (recall@10 vs brute
+    force, BENCH/BASELINE.md §5): n_planes=3 → 0.998, 4 → 0.874, 6 → 0.746,
+    8 → 0.624.  The default 3 clears the ≥0.9 bar; every +1 plane halves
+    per-bucket candidate cost and pays recall — raise it only with a
+    measured recall check on your data, or prefer ``ivf_ann_topk`` with
+    trained centroids (1.0 at n_probe=4 on the same bench), which holds
+    recall at much smaller candidate sets.
     """
     sig = hyperplane_signature(df, n_planes, id_col, vec_col)
     cand = with_norm(df, vec_col).join(
@@ -395,6 +403,13 @@ def ivf_ann_topk(
     Scale shape: the inverted-list assignment is one grouped aggregation;
     the probe is an equi-join on centroid id (no cross product); recall
     trades against n_probe exactly like a trained IVF index.
+
+    Measured recall@10 vs brute force on the seeded 100k-vector mixture
+    bench (BENCH/BASELINE.md §5): the defaults (n_centroids=8, n_probe=2)
+    score 1.0; at the scaled-out geometry n_centroids=64 the LCG stand-in
+    centroids score 0.936/0.978 at n_probe=4/8 and TRAINED centroids
+    (``train_ivf_centroids``) score 1.0 at n_probe=4 — train for the
+    production index, and grow n_centroids ~ sqrt(n) with n_probe >= 4.
     """
     assign = ivf_assign(
         df, n_centroids, id_col, vec_col, rank_limit=1, centroids=centroids
