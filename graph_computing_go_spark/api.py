@@ -1948,7 +1948,12 @@ def q_subject_entropy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("id") % 7 < 3, F.array(F.lit("gamma"))).otherwise(empty),
         ).alias("subjects"),
     )
-    return subject_entropy_lifecycle(vertices, edges, _SUBJ_YEARS)
+    df = subject_entropy_lifecycle(vertices, edges, _SUBJ_YEARS)
+    # df is materialized inside (localCheckpoint) — the edge cache can
+    # retire with the call; lazy plan-audit mode keeps it
+    if eager_results():
+        edges.unpersist()
+    return df
 
 
 # --------------------------------------------------------------------------

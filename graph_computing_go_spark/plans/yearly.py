@@ -167,6 +167,10 @@ def yearly_entropy_pipeline(
         )
         n_cand = ranked_base.count()
         for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
+            # cache: _universe_stats probes the ranking three times (src tag,
+            # dst tag, vertex slices) — without it the range-partitioned
+            # row-number machinery re-executes per probe; retired right
+            # after the stats materialize below
             ranked = global_row_number(
                 ranked_base.select("id", cnt_col),
                 [F.desc(cnt_col), F.asc("id")],
@@ -174,7 +178,7 @@ def yearly_entropy_pipeline(
                 num_partitions=rank_partitions_for(
                     ranked_base.sparkSession, n_cand
                 ),
-            ).select("id", "rank", F.lit(n_cand).alias("n_total"))
+            ).select("id", "rank", F.lit(n_cand).alias("n_total")).cache()
             # localCheckpoint materializes this universe's (tiny, one row per
             # ladder point) stats NOW, severing lineage to the year caches —
             # so superseded caches can be dropped and memory stays flat over
@@ -183,6 +187,7 @@ def yearly_entropy_pipeline(
                 _universe_stats(edges_y, ranked, year, rank_type, percents)
                 .localCheckpoint()
             )
+            ranked.unpersist()
         for c in prev_caches:
             c.unpersist()
         prev_caches = [edges_y, ranked_base]
