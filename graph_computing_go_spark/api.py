@@ -203,9 +203,8 @@ def q_structural_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _vertices_with_cats(edges: DataFrame) -> DataFrame:
     ids = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
+        # both endpoints in one scan of the edge table
+        edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
     )
     return ids.select(
         "id", F.array(F.chr(F.lit(97) + (F.col("id") % 3))).alias("cats")
@@ -333,9 +332,8 @@ def q_google_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of re-deriving the whole ranking lineage inside its semi-join
     core = ranked.filter(F.col("rank") <= 50).select("id").cache()
     n = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
+        # both endpoints in one scan of the edge table
+        edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
         .count()
     )
     df = google_distance(edges, core, n, core_count=50)
@@ -1254,9 +1252,8 @@ def _vertex_labels(edges: DataFrame) -> DataFrame:
     """Deterministic multi-label assignment for derived-graph vertices:
     everyone gets 'a'; even ids also 'b'; id%7<3 also 'c'."""
     ids = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
+        # both endpoints in one scan of the edge table
+        edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
     )
     return ids.select(
         "id",
@@ -1693,9 +1690,8 @@ def q_yearly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = derive_edges(spark, sf_dir).cache()
     ids = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
+        # both endpoints in one scan of the edge table
+        edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
     )
     vertices = ids.select("id", (F.lit(1995) + (F.col("id") % 8).cast("int")).alias("year"))
     return yearly_entropy_pipeline(
@@ -1934,9 +1930,8 @@ def q_subject_entropy_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = derive_edges(spark, sf_dir).cache()
     ids = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
+        # both endpoints in one scan of the edge table
+        edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
     )
     empty = F.array().cast("array<string>")
     vertices = ids.select(

@@ -29,9 +29,17 @@ def symmetrize(edges: DataFrame, dedup: bool = True) -> DataFrame:
     nothing); REQUIRED True for frequency-sensitive ones (label propagation
     counts votes)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    both = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # both orientations from ONE scan of the edge table (explode of the two
+    # (s, d) structs) — the union-of-two-selects form read it twice, which
+    # is two full file scans when the input is an uncached parquet table
+    both = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("__e")
+    ).select(F.col("__e.s").alias("src"), F.col("__e.d").alias("dst"))
     return both.distinct() if dedup else both
 
 

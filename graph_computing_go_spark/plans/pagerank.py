@@ -49,11 +49,8 @@ def _salted_sum(df: DataFrame, key: str, value: str, buckets: int) -> DataFrame:
 
 
 def vertices_of(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    # both endpoints in one scan (union form reads the edge table twice)
+    return edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
 
 
 def packed_adjacency(

@@ -34,9 +34,10 @@ def _oriented_edges(edges: DataFrame) -> DataFrame:
     """Orient each undirected edge from lower-degree to higher-degree
     endpoint (ties by id), bounding per-vertex out-degree ~ sqrt(m)."""
     canon = _canonical_edges(edges)
+    # explode both endpoints in ONE scan — the union-of-two-selects form
+    # executed the canonicalizing distinct twice for identical shuffle bytes
     deg = (
-        canon.select(F.col("a").alias("id"))
-        .unionByName(canon.select(F.col("b").alias("id")))
+        canon.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
@@ -93,9 +94,7 @@ def triangles_per_vertex(
     ``degree_oriented`` switches the enumeration to the sqrt(m)-bounded
     oriented wedge join; output is identical."""
     tri = triangle_list(edges, degree_oriented)
-    corners = (
-        tri.select(F.col("a").alias("id"))
-        .unionByName(tri.select(F.col("b").alias("id")))
-        .unionByName(tri.select(F.col("c").alias("id")))
-    )
+    # one corner explode, ONE execution of the wedge join — the three-way
+    # union re-ran the whole triangle enumeration once per corner column
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
