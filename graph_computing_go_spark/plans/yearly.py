@@ -55,22 +55,31 @@ def _universe_stats(
     edges_y: DataFrame,
     ranked: DataFrame,
     year: int,
-    rank_type: str,
     percents: tuple[int, ...],
 ) -> DataFrame:
+    """Slice stats for BOTH rank universes in one subtree: ``ranked`` is
+    (id, rank_type, rank, n_total) and ``rank_type`` threads through every
+    join and aggregation as a group key — the tag joins, slice explosions,
+    and entropy aggregations are shared instead of duplicated per universe
+    (half the compile surface and half the edge-table scans per year)."""
     ladder = F.array(*[F.lit(p) for p in sorted(percents)])
     minp_v = ranked.select(
-        "id", _minp_expr("rank", "n_total", percents).alias("minp")
+        "id", "rank_type", _minp_expr("rank", "n_total", percents).alias("minp")
     )
 
     cand_edges = edges_y.join(
-        minp_v.select(F.col("id").alias("src"), F.col("minp").alias("minp_src")),
+        minp_v.select(
+            F.col("id").alias("src"), "rank_type", F.col("minp").alias("minp_src")
+        ),
         "src",
     ).join(
-        minp_v.select(F.col("id").alias("dst"), F.col("minp").alias("minp_dst")),
-        "dst",
+        minp_v.select(
+            F.col("id").alias("dst"), "rank_type", F.col("minp").alias("minp_dst")
+        ),
+        ["dst", "rank_type"],
     )
     e_slices = cand_edges.select(
+        "rank_type",
         "dst",
         F.explode(
             F.filter(
@@ -78,17 +87,19 @@ def _universe_stats(
             )
         ).alias("percent"),
     )
-    deg = e_slices.groupBy("percent", F.col("dst").alias("id")).agg(
+    deg = e_slices.groupBy("rank_type", "percent", F.col("dst").alias("id")).agg(
         F.count("*").alias("d")
     )
     v_slices = minp_v.select(
-        "id", F.explode(F.filter(ladder, lambda p: p >= F.col("minp"))).alias("percent")
+        "id",
+        "rank_type",
+        F.explode(F.filter(ladder, lambda p: p >= F.col("minp"))).alias("percent"),
     )
-    ind = v_slices.join(deg, ["percent", "id"], "left").select(
-        "percent", F.coalesce("d", F.lit(0)).alias("d")
+    ind = v_slices.join(deg, ["rank_type", "percent", "id"], "left").select(
+        "rank_type", "percent", F.coalesce("d", F.lit(0)).alias("d")
     )
-    hist = ind.groupBy("percent", "d").agg(F.count("*").alias("c"))
-    dd = hist.groupBy("percent").agg(
+    hist = ind.groupBy("rank_type", "percent", "d").agg(F.count("*").alias("c"))
+    dd = hist.groupBy("rank_type", "percent").agg(
         (
             F.log2(F.sum("c").cast("double"))
             - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
@@ -97,8 +108,8 @@ def _universe_stats(
     )
     se = (
         ind.filter(F.col("d") > 0)
-        .select("percent", F.col("d").cast("double").alias("d"))
-        .groupBy("percent")
+        .select("rank_type", "percent", F.col("d").cast("double").alias("d"))
+        .groupBy("rank_type", "percent")
         .agg(
             (
                 F.log2(F.sum("d")) - F.sum(F.col("d") * F.log2("d")) / F.sum("d")
@@ -106,14 +117,16 @@ def _universe_stats(
             F.count("*").alias("n_in"),
         )
     )
-    ne = e_slices.groupBy("percent").agg(F.count("*").alias("n_edges"))
+    ne = e_slices.groupBy("rank_type", "percent").agg(
+        F.count("*").alias("n_edges")
+    )
     return (
-        dd.join(se, "percent", "left")
-        .join(ne, "percent", "left")
+        dd.join(se, ["rank_type", "percent"], "left")
+        .join(ne, ["rank_type", "percent"], "left")
         .select(
             F.lit(year).alias("year"),
             "percent",
-            F.lit(rank_type).alias("rank_type"),
+            "rank_type",
             "n_vertices",
             F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
             F.round("dd_h_in", 6).alias("dd_h_in"),
@@ -166,28 +179,38 @@ def yearly_entropy_pipeline(
             .cache()
         )
         n_cand = ranked_base.count()
+        # the two universes rank differently (two range-partitioned sorts —
+        # unavoidable) but everything downstream is shared: union them under
+        # a rank_type key and run ONE stats subtree per year.  Cache: the
+        # stats probe the ranking three times (src tag, dst tag, vertex
+        # slices) — without it the row-number machinery re-executes per
+        # probe; retired right after the stats materialize below.
+        ranked_both = None
         for rank_type, cnt_col in (("total", "cnt_total"), ("current", "cnt_cur")):
-            # cache: _universe_stats probes the ranking three times (src tag,
-            # dst tag, vertex slices) — without it the range-partitioned
-            # row-number machinery re-executes per probe; retired right
-            # after the stats materialize below
-            ranked = global_row_number(
+            r = global_row_number(
                 ranked_base.select("id", cnt_col),
                 [F.desc(cnt_col), F.asc("id")],
                 "rank",
                 num_partitions=rank_partitions_for(
                     ranked_base.sparkSession, n_cand
                 ),
-            ).select("id", "rank", F.lit(n_cand).alias("n_total")).cache()
-            # localCheckpoint materializes this universe's (tiny, one row per
-            # ladder point) stats NOW, severing lineage to the year caches —
-            # so superseded caches can be dropped and memory stays flat over
-            # an 85-year walk instead of accumulating 85 live edge tables
-            out.append(
-                _universe_stats(edges_y, ranked, year, rank_type, percents)
-                .localCheckpoint()
+            ).select(
+                "id",
+                F.lit(rank_type).alias("rank_type"),
+                "rank",
+                F.lit(n_cand).alias("n_total"),
             )
-            ranked.unpersist()
+            ranked_both = r if ranked_both is None else ranked_both.unionByName(r)
+        ranked_both = ranked_both.cache()
+        # localCheckpoint materializes this year's (tiny, one row per ladder
+        # point and universe) stats NOW, severing lineage to the year caches
+        # — so superseded caches can be dropped and memory stays flat over
+        # an 85-year walk instead of accumulating 85 live edge tables
+        out.append(
+            _universe_stats(edges_y, ranked_both, year, percents)
+            .localCheckpoint()
+        )
+        ranked_both.unpersist()
         for c in prev_caches:
             c.unpersist()
         prev_caches = [edges_y, ranked_base]
