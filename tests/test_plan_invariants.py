@@ -82,6 +82,27 @@ def test_minhash_candidates_no_shingle_grain_exchange(spark):
             assert "shingle" not in ln, ln
 
 
+def test_single_scan_expansions_have_no_union(spark):
+    """The round-4 explode rewrites (PERF.md §15): corner/endpoint
+    expansion must be a Generate over ONE scan, never a Union re-executing
+    the source subtree per column."""
+    from graph_computing_go_spark.plans.components import symmetrize
+    from graph_computing_go_spark.plans.pagerank import vertices_of
+    from graph_computing_go_spark.plans.triangles import triangles_per_vertex
+
+    edges = spark.range(300).select(
+        (F.col("id") % 37).alias("src"), (F.col("id") % 23 + 1).alias("dst")
+    ).repartition(4)
+    for df in (
+        symmetrize(edges, dedup=False),
+        vertices_of(edges),
+        triangles_per_vertex(edges),
+    ):
+        plan = _plan(df)
+        assert "Union" not in plan, plan
+        assert "Generate" in plan, plan
+
+
 def test_grouped_distance_tag_joins_reuse_nc_partitioning(spark, monkeypatch):
     """The node_cat cache is pre-partitioned on hash(group…, id) and probed
     by BOTH tag joins through alias-aware output partitioning (PERF.md §13)
