@@ -16,6 +16,7 @@ Reference command → subcommand map:
 |---|---|
 | `wikiEntropy -t total` (cmd/wikiEntropy.go:29-38) | `yearly-entropy` |
 | `oae -t total` (cmd/oae.go:23-41) | `yearly-entropy` (same lifecycle, works payload) |
+| `wikiSubjectEntropy` / `oae -t multilayerSubjectEntropy` (wikiSubjectEntropy.go:64-95) | `subject-entropy` |
 | `oae -t degreeStats` / `wikiDegreeStats` | `degree-stats` |
 | `wikipediaGoogleDistance` (cmd/wikipediaGoogleDistance.go) | `google-distance` |
 | single-graph distance-complexity family | `distance-complexity` |
@@ -65,6 +66,26 @@ def cmd_yearly_entropy(args):
     ).cache()  # written AND counted: one execution
     write_result(res, args.output, "yearly_entropy", partition_by=("year",))
     _emit(cmd=args.cmd, rows=res.count(), output=f"{args.output}/yearly_entropy")
+
+
+def cmd_subject_entropy(args):
+    """Reference `wikiSubjectEntropy` / `oae -t multilayerSubjectEntropy`
+    lifecycle (wikiSubjectEntropy.go:64-95,
+    openAlexMultilayerSubjectEntropy.go:130-160): per-subject circle
+    entropies per snapshot year, one year-threaded plan (PERF.md §14)."""
+    from graph_computing_go_spark.plans.subjects import subject_entropy_lifecycle
+    from graph_computing_go_spark.sources.io import write_result
+
+    spark = _spark(args)
+    edges = _edges(spark, args.edges)
+    vertices = spark.read.parquet(args.vertices).select(
+        "id", "year", "subjects"
+    )
+    res = subject_entropy_lifecycle(
+        vertices, edges, years=args.years, min_in_degree=args.min_in_degree
+    ).cache()  # written AND counted: one execution
+    write_result(res, args.output, "subject_entropy", partition_by=("year",))
+    _emit(cmd=args.cmd, rows=res.count(), output=f"{args.output}/subject_entropy")
 
 
 def cmd_degree_stats(args):
@@ -493,6 +514,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--percents", type=int, nargs="+", default=[10, 20, 40, 60, 80, 100]
     )
     sp.set_defaults(fn=cmd_yearly_entropy)
+
+    sp = sub.add_parser("subject-entropy")
+    common(sp)
+    sp.add_argument("--vertices", required=True)
+    sp.add_argument("--years", type=int, nargs="+", required=True)
+    sp.add_argument("--min-in-degree", type=int, default=2)
+    sp.set_defaults(fn=cmd_subject_entropy)
 
     sp = sub.add_parser("degree-stats")
     common(sp)

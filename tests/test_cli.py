@@ -107,6 +107,27 @@ def test_cli_yearly_entropy(spark, graph_dirs, capsys):
     assert res["rows"] == 4
 
 
+def test_cli_subject_entropy(spark, graph_dirs, capsys, tmp_path):
+    base, epath, _ = graph_dirs
+    sverts = spark.createDataFrame(
+        [(i, 1995 + i % 3, ["s1"] if i % 2 else ["s1", "s2"]) for i in range(1, 8)],
+        "id long, year int, subjects array<string>",
+    )
+    svpath = str(tmp_path / "sverts")
+    sverts.write.parquet(svpath)
+    out = str(base / "wh_subj")
+    res = _run_inproc(
+        capsys,
+        ["subject-entropy", "--edges", epath, "--vertices", svpath,
+         "--years", "1997", "--min-in-degree", "1", "--output", out],
+    )
+    # every vertex is in subject s1; evens add s2 — both subjects survive
+    # the min-in-degree=1 gate in the 1997 snapshot
+    assert res["rows"] == 2
+    got = spark.read.parquet(f"{out}/subject_entropy")
+    assert {r["subject"] for r in got.collect()} == {"s1", "s2"}
+
+
 def test_spark_submit_py_files(graph_dirs, tmp_path):
     """The north-rule launch path: spark-submit --py-files <zip> cli.py."""
     base, epath, _ = graph_dirs
