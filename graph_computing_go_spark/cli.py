@@ -193,9 +193,8 @@ def cmd_tddc(args):
 
     spark = _spark(args)
     w = read_weighted_tsv(spark, args.tsv)
-    names = w.select(F.col("concept1").alias("key")).unionByName(
-        w.select(F.col("concept2").alias("key"))
-    )
+    # both concept columns in one scan of the TSV
+    names = w.select(F.explode(F.array("concept1", "concept2")).alias("key"))
     ids = dense_string_ids(names, "key").cache()
     edges = (
         w.join(ids.withColumnRenamed("key", "concept1"), "concept1")
@@ -226,13 +225,9 @@ def cmd_tddc(args):
             .join(ids, "key")
             .select(F.col("dense_id").alias("id"), "cats")
         )
-        present = (
-            wedges.select("year", "discipline", F.col("a").alias("id"))
-            .unionByName(
-                wedges.select("year", "discipline", F.col("b").alias("id"))
-            )
-            .distinct()
-        )
+        present = wedges.select(
+            "year", "discipline", F.explode(F.array("a", "b")).alias("id")
+        ).distinct()
         cats = present.join(cmap, "id").select("year", "discipline", "id", "cats")
     res = distance_complexity(
         wedges, cats, group=["year", "discipline"]
