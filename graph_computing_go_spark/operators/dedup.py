@@ -400,10 +400,16 @@ def dedup_clusters(
     if collapse_exact:
         # materialize the doc-grain numeric result (the same storage class
         # the CC state already uses) so the rep-id cache can be retired —
-        # no internal cache outlives the call
-        out = out.localCheckpoint()
-        rep_ids.unpersist()
-        keys.unpersist()
+        # no internal cache outlives the call (SPARK_GRAFT_EAGER=0 keeps it
+        # lazy for the plan audit; the verified-edge checkpoint above stays
+        # unconditional — it guards the superstep engine's per-iteration
+        # re-analysis cost, not cache hygiene)
+        from graph_computing_go_spark.session import eager_results
+
+        if eager_results():
+            out = out.localCheckpoint()
+            rep_ids.unpersist()
+            keys.unpersist()
     return out
 
 
