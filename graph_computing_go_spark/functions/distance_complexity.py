@@ -133,10 +133,12 @@ def _with_copies(wedges: DataFrame, categories: DataFrame, group: list[str]):
         *group, "id", F.element_at("cats", 1).alias("cat")
     ).unionByName(copies.select(*group, F.col("copy_id").alias("id"), "cat"))
 
-    # a-side-only duplication (distanceComplexity.go:109)
+    # a-side-only duplication (distanceComplexity.go:109).  cm is
+    # (multi-category)-VERTEX-grain — no broadcast hint (the repo-wide ban:
+    # a taxonomy where most vertices carry 2+ categories makes it
+    # data-sized and a forced broadcast OOMs); AQE broadcast-converts it at
+    # runtime when its measured size is genuinely small.
     cm = copies.select(*group, F.col("id").alias("a"), "copy_id")
-    if not group:
-        cm = F.broadcast(cm)
     copy_edges = wedges.join(cm, [*group, "a"]).select(
         *group, F.col("copy_id").alias("a"), "b", "w"
     )
@@ -179,12 +181,21 @@ def distance_complexity(
     else:
         e = _canonical(wedges, group)
     node_cat = None
+    cats_preowned = False
     if categories is not None:
         # categories feeds the max-id aggregate, the multi-cat copy
         # derivation, AND the node→cat table — without a cache the caller's
         # plan (typically a distinct over the edge-endpoint union) re-executes
-        # per consumer (measured 3 redundant exchanges at sf0.1)
-        categories = categories.cache()
+        # per consumer (measured 3 redundant exchanges at sf0.1).  If the
+        # CALLER already persisted it, reuse their cache and never unpersist
+        # it — cache()/unpersist() act on the shared plan entry, and evicting
+        # a caller-owned persistence from inside the API would silently
+        # deoptimize their other consumers.
+        cats_preowned = categories.storageLevel.useMemory or (
+            categories.storageLevel.useDisk
+        )
+        if not cats_preowned:
+            categories = categories.cache()
         e, node_cat = _with_copies(e, categories, group)
     # cache partitioned on the a-side tag-join key: the join below then
     # probes it exchange-free, and every consumer reads uniform partitions
@@ -220,9 +231,9 @@ def distance_complexity(
             e.unpersist()
         return out
 
-    # vertex-grain table: NO broadcast hint (billion-vertex OOM risk); the
-    # copy maps above stay broadcast in ungrouped mode — they are small
-    # there.  Cache it partitioned on the join key: it is probed twice
+    # vertex-grain table: NO broadcast hint (billion-vertex OOM risk — the
+    # copy maps above are likewise unhinted now; AQE runtime-converts small
+    # sides).  Cache it partitioned on the join key: it is probed twice
     # (a-side, b-side — alias-aware output partitioning carries the
     # hash(group..., id) layout through both renames), and its lineage
     # contains the whole copy/row-number machinery, which would otherwise
@@ -313,6 +324,7 @@ def distance_complexity(
         out = out.localCheckpoint()
         tagged.unpersist()
         nc.unpersist()
-        categories.unpersist()
+        if not cats_preowned:
+            categories.unpersist()
         e.unpersist()
     return out

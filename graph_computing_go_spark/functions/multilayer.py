@@ -76,17 +76,18 @@ def _expanded_graph(vertices: DataFrame, edges: DataFrame):
         vertices.select(F.col("id").alias("dst")), "dst", "left_semi"
     ).join(vertices.select(F.col("id").alias("src")), "src", "left_semi")
 
-    # both-side copy fan-out in ONE pass: per-vertex copy LISTS (copy-grain,
-    # multi-category vertices only — broadcastable exactly like the old
-    # per-copy map) left-join each side, then explode(self ++ copies).  The
-    # previous union-of-unions shape (e0 ∪ e0⋈cm, then that ∪ that⋈cm)
-    # re-executed the double semi-join FOUR times per materialization of
-    # e_full; this lineage executes it once.  Row multiset is identical:
-    # (u,v) expands to {u}+copies(u) × {v}+copies(v).
-    cmg = F.broadcast(
-        copies.groupBy(F.col("id").alias("orig")).agg(
-            F.collect_list("copy_id").alias("__copies")
-        )
+    # both-side copy fan-out in ONE pass: per-vertex copy LISTS left-join
+    # each side, then explode(self ++ copies).  The previous union-of-unions
+    # shape (e0 ∪ e0⋈cm, then that ∪ that⋈cm) re-executed the double
+    # semi-join FOUR times per materialization of e_full; this lineage
+    # executes it once.  Row multiset is identical: (u,v) expands to
+    # {u}+copies(u) × {v}+copies(v).  cmg is (multi-category)-VERTEX-grain
+    # — no broadcast hint (repo-wide ban: a taxonomy where most of a large
+    # vertex set carries 2+ categories makes it data-sized, and a forced
+    # broadcast OOMs where AQE would degrade to a shuffle join gracefully);
+    # AQE broadcast-converts it at runtime when genuinely small.
+    cmg = copies.groupBy(F.col("id").alias("orig")).agg(
+        F.collect_list("copy_id").alias("__copies")
     )
     no_copies = F.array().cast("array<long>")
     e_src = e0.join(cmg, e0.src == cmg.orig, "left").select(

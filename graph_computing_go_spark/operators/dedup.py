@@ -626,13 +626,6 @@ def embedding_near_dup(
     )
 
 
-# auto broadcast cutoff for the eval k-gram set: eval suites up to this many
-# DOCUMENTS keep the broadcast fast-path (a 50k-doc suite at ~1k grams/doc is
-# ~tens of MB hashed — inside a healthy driver budget); above it the gram set
-# would blow the broadcast threshold, so fall back to a shuffle semi-join.
-_BCAST_EVAL_MAX_DOCS = 50_000
-
-
 def _eval_gram_set(
     eval_df: DataFrame,
     id_col: str,
@@ -640,18 +633,21 @@ def _eval_gram_set(
     k: int,
     broadcast_eval: bool | None,
 ):
-    """DISTINCT eval k-grams, broadcast-hinted when small.
+    """DISTINCT eval k-grams, broadcast-hinted only on request.
 
-    ``broadcast_eval``: True/False forces the path; None counts eval DOCS
-    (one cheap scan of the small-by-contract side — never the corpus) and
-    broadcasts under ``_BCAST_EVAL_MAX_DOCS``.  The shuffle path exchanges
-    the corpus shingle rows on the gram key — the unavoidable cost of a
-    100M-gram eval corpus; hot boilerplate grams skew that exchange, which
-    AQE's skew-join handles (the eval side is DISTINCT, so only the corpus
-    side fans out)."""
+    ``broadcast_eval``: True forces the broadcast fast-path (the caller
+    asserts the gram set fits the driver — typical benchmark suites);
+    False/None leave the strategy to AQE, which broadcast-converts the
+    gram side at runtime when its MEASURED size is under the threshold and
+    shuffle-joins otherwise — no eager doc count (an up-front count both
+    launched a Spark job at plan-construction time, against the
+    eager_results() convention, and was a poor size proxy: 50k eval docs
+    can mean 50M distinct grams, multiple GB hashed).  The shuffle path
+    exchanges the corpus shingle rows on the gram key — the unavoidable
+    cost of a 100M-gram eval corpus; hot boilerplate grams skew that
+    exchange, which AQE's skew-join handles (the eval side is DISTINCT,
+    so only the corpus side fans out)."""
     grams = shingles(eval_df, id_col, text_col, k).select("shingle").distinct()
-    if broadcast_eval is None:
-        broadcast_eval = eval_df.count() <= _BCAST_EVAL_MAX_DOCS
     return F.broadcast(grams) if broadcast_eval else grams
 
 
@@ -677,10 +673,11 @@ def decontaminate(
     shingle rows (``shingle_rows`` — duplicate-insensitive consumer, no
     distinct exchange on the corpus side); one doc-grain aggregation
     counts hits.  Every corpus document comes back exactly once
-    (contaminated = n_hits > 0), ledger-style.  ``broadcast_eval`` picks
-    the join strategy (None = auto by eval doc count): a 100M-gram eval
-    corpus exceeds any broadcast budget and takes the shuffle semi-join
-    instead (see ``_eval_gram_set``).
+    (contaminated = n_hits > 0), ledger-style.  ``broadcast_eval=True``
+    forces the broadcast fast-path; the default leaves the strategy to
+    AQE's measured runtime size — a 100M-gram eval corpus exceeds any
+    broadcast budget and takes the shuffle semi-join (see
+    ``_eval_gram_set``).
     """
     eval_grams = _eval_gram_set(eval_df, id_col, text_col, k, broadcast_eval)
     hits = (

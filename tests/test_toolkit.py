@@ -782,22 +782,21 @@ def test_decontaminate(spark, docs):
     assert sorted(map(tuple, shuffled.collect())) == sorted(
         (r["id"], r["n_hits"], r["contaminated"]) for r in out.values()
     )
-    # plan pins: the small-eval default/forced broadcast carries the hint
-    # through to a BroadcastExchange; the fallback must NOT force one (AQE
-    # may still runtime-convert tiny sides, so check the HINT, not runtime)
+    # plan pins: broadcast_eval=True carries the hint through to a
+    # BroadcastExchange; the default and the explicit fallback must NOT
+    # force one (AQE still runtime-converts genuinely tiny gram sets, so
+    # check the HINT, not the runtime strategy)
     bq = decontaminate(docs, eval_df, k=3, broadcast_eval=True)
     assert "strategy=broadcast" in bq._jdf.queryExecution().optimizedPlan().toString()
     assert "BroadcastExchange" in bq._jdf.queryExecution().executedPlan().toString()
-    assert (
-        "strategy=broadcast"
-        not in shuffled._jdf.queryExecution().optimizedPlan().toString()
-    )
-    from graph_computing_go_spark.operators import dedup as _dedup
-
-    # auto mode: an eval-doc count under the cutoff selects broadcast
-    assert eval_df.count() <= _dedup._BCAST_EVAL_MAX_DOCS
-    aq = decontaminate(docs, eval_df, k=3)
-    assert "strategy=broadcast" in aq._jdf.queryExecution().optimizedPlan().toString()
+    for unforced in (
+        shuffled,
+        decontaminate(docs, eval_df, k=3),  # default: AQE decides by size
+    ):
+        assert (
+            "strategy=broadcast"
+            not in unforced._jdf.queryExecution().optimizedPlan().toString()
+        )
 
 
 def test_contaminated_spans(spark):
