@@ -23,7 +23,7 @@ Reference command → subcommand map:
 | `oae -t tddc` per-(year, discipline) lifecycle (openAlexTopDsiplineDistanceComplexity.go) | `tddc` |
 | `wikipediaInDegree` (cmd/wikipediaInDegree.go) | `in-degree` |
 | (north rule additions) | `pagerank`, `connected-components`, `label-propagation`, `triangles` |
-| (training-data additions) | `dedup` (near-dup clustering over a document table), `prepare` (quality → language → dedup ledger) |
+| (training-data additions) | `dedup` (near-dup clustering over a document table), `prepare` (quality → optional repetition → language → dedup ledger) |
 | `extractWikipediaDump` (ingest) | `ingest-repos` |
 
 Inputs are parquet paths (edge table ``src,dst``; vertex tables as noted);
@@ -120,12 +120,8 @@ def cmd_google_distance(args):
     edges = _edges(spark, args.edges).cache()
     ranked = rank_by_in_degree(edges)
     core = ranked.filter(F.col("rank") <= args.core_top_k).select("id")
-    n = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .count()
-    )
+    # both endpoints in one scan of the edge cache
+    n = edges.select(F.explode(F.array("src", "dst")).alias("id")).distinct().count()
     res = google_distance(edges, core, n).cache()
     write_result(res, args.output, "google_distance")
     _emit(cmd=args.cmd, pairs=res.count(), n_vertices=n)
@@ -144,8 +140,8 @@ def cmd_distance_complexity(args):
         w = read_weighted_tsv(spark, args.tsv)
         from graph_computing_go_spark.operators.labels import dense_string_ids
 
-        names = w.select(F.col("concept1").alias("key")).unionByName(
-            w.select(F.col("concept2").alias("key"))
+        names = w.select(
+            F.explode(F.array("concept1", "concept2")).alias("key")
         )
         ids = dense_string_ids(names, "key")
         w = (
@@ -319,6 +315,7 @@ def cmd_prepare(args):
         text_col=args.text_col,
         min_quality=args.min_quality,
         languages=tuple(args.languages) if args.languages else None,
+        max_dup_line_frac=args.max_dup_line_frac,
         min_jaccard=args.min_jaccard,
     ).cache()
     write_result(ledger, args.output, "corpus_ledger")
@@ -591,6 +588,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--id-col", default="doc_id")
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--min-quality", type=float, default=0.35)
+    sp.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="enable the repetition gate: drop docs whose duplicate-line "
+        "fraction exceeds this (e.g. 0.3); off by default",
+    )
     sp.add_argument(
         "--languages",
         nargs="*",

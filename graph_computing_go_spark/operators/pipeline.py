@@ -5,9 +5,11 @@ Order of attribution (each document gets exactly one status, decided by the
 FIRST stage that drops it — the convention curation reports use):
 
 1. ``low_quality``  — rule-based quality score below ``min_quality``
-2. ``language``     — predicted language not in ``languages``
-3. ``duplicate``    — non-canonical member of a near-dup cluster
-4. ``kept``         — survived everything (canonical_id == its own id)
+2. ``repetitive``   — duplicate-line fraction above ``max_dup_line_frac``
+                      (optional gate, off by default)
+3. ``language``     — predicted language not in ``languages``
+4. ``duplicate``    — non-canonical member of a near-dup cluster
+5. ``kept``         — survived everything (canonical_id == its own id)
 
 Every INPUT row comes back exactly once: curation at scale is judged on its
 ledger (what was dropped and WHY, per stage) as much as on the kept set, and
@@ -36,17 +38,32 @@ def prepare_training_corpus(
     text_col: str = "text",
     min_quality: float = 0.35,
     languages: tuple[str, ...] | None = ("en",),
+    max_dup_line_frac: float | None = None,
     **dedup_kwargs,
 ) -> DataFrame:
     """(id, status, canonical_id, score, pred_lang) — one row per input doc.
 
-    ``status`` ∈ {kept, low_quality, language, duplicate}; ``canonical_id``
-    is the surviving representative for duplicate/kept rows and NULL for
-    rows dropped before the dedup stage (they never entered a cluster).
-    ``languages=None`` disables the language gate.  ``dedup_kwargs`` pass
-    through to ``dedup_clusters`` (k, n_hashes, min_jaccard, chunk, …).
+    ``status`` ∈ {kept, low_quality, repetitive, language, duplicate};
+    ``canonical_id`` is the surviving representative for duplicate/kept
+    rows and NULL for rows dropped before the dedup stage (they never
+    entered a cluster).  ``languages=None`` disables the language gate;
+    ``max_dup_line_frac`` (e.g. 0.3) enables the Gopher-style repetition
+    gate (``text.repetition_cols`` — row-local like the other gates;
+    attribution slots right after ``low_quality`` since it is a
+    quality-family filter).  A NULL repetition signal (no non-blank lines)
+    reads as PASS — absence of evidence, unlike a NULL quality score which
+    reads as FAIL (poisoned arithmetic ⇒ unusable text).  ``dedup_kwargs``
+    pass through to ``dedup_clusters`` (k, n_hashes, min_jaccard, chunk, …).
     """
     q = quality_score(df, id_col, text_col).select(id_col, "score")
+    if max_dup_line_frac is not None:
+        from graph_computing_go_spark.operators.text import repetition_cols
+
+        rep = df.select(
+            F.col(id_col),
+            repetition_cols(text_col)["dup_line_frac"].alias("dup_line_frac"),
+        )
+        q = q.join(rep, id_col, "left")
     lang = language_id(df, id_col, text_col).select(id_col, "pred_lang")
     # narrow (id, score, pred_lang) metadata, CACHED: it is consumed twice
     # (the eligibility filter feeding dedup, then the final ledger join);
@@ -58,8 +75,11 @@ def prepare_training_corpus(
     # array yields zero rows), and an inner join here would silently drop
     # that doc from the ledger — 'und' is the same verdict language_id gives
     # hit-less docs it does emit.
+    meta_cols = [id_col, "score"]
+    if max_dup_line_frac is not None:
+        meta_cols.append("dup_line_frac")
     meta = q.join(lang, id_col, "left").select(
-        id_col, "score", F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
+        *meta_cols, F.coalesce("pred_lang", F.lit("und")).alias("pred_lang")
     ).cache()
 
     # null-safe gates: a NULL score (NULL text — length(NULL) poisons the
@@ -67,13 +87,21 @@ def prepare_training_corpus(
     # (where bare NULL already filters out) and in the ledger's when-chain
     # (where bare ~NULL would skip every arm and mislabel the doc 'kept')
     quality_ok = F.coalesce(F.col("score") >= min_quality, F.lit(False))
+    # NULL signal (no non-blank lines) coalesces to PASS — see docstring
+    rep_ok = (
+        F.coalesce(F.col("dup_line_frac") <= max_dup_line_frac, F.lit(True))
+        if max_dup_line_frac is not None
+        else F.lit(True)
+    )
     lang_ok = (
         F.coalesce(F.col("pred_lang").isin(*languages), F.lit(False))
         if languages
         else F.lit(True)
     )
     eligible = df.select(id_col, text_col).join(
-        meta.filter(quality_ok & lang_ok).select(id_col), id_col, "left_semi"
+        meta.filter(quality_ok & rep_ok & lang_ok).select(id_col),
+        id_col,
+        "left_semi",
     )
     clusters = dedup_clusters(eligible, id_col, text_col, **dedup_kwargs)
 
@@ -88,6 +116,7 @@ def prepare_training_corpus(
         .select(
             F.col(id_col).alias("id"),
             F.when(~quality_ok, F.lit("low_quality"))
+            .when(~rep_ok, F.lit("repetitive"))
             .when(~lang_ok, F.lit("language"))
             .when(~F.col("is_canonical"), F.lit("duplicate"))
             .otherwise(F.lit("kept"))

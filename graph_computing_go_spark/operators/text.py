@@ -192,3 +192,95 @@ def fingerprint(
         lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
     )
     return df.select(F.col(id_col), fp.alias("fp"))
+
+
+def repetition_cols(text_col: str | Column = "text") -> dict[str, Column]:
+    """Row-local repetition signals (the Gopher / RefinedWeb repetition
+    filter family, arithmetic form) keyed dup_line_frac / dup_2gram_frac /
+    dup_3gram_frac — reusable in any projection, batch or streaming, zero
+    exchanges (same contract as ``quality_cols``).
+
+    - ``dup_line_frac``: fraction of non-blank lines that are repeats of an
+      earlier line (trimmed, case-sensitive) — boilerplate nav bars and
+      scraped templates score high;
+    - ``dup_{2,3}gram_frac``: 1 − distinct/total word n-grams — repeated
+      phrasing and keyword stuffing score high.  NULL text → NULL signals
+      (the curation gates' null-safe coalesce handles them, exactly like
+      ``quality_cols``).
+    """
+    text = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    dup_line = F.when(
+        n_lines > 0,
+        F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 6),
+    )
+
+    toks = tokens_col(text)
+
+    def dup_ngram(n: int) -> Column:
+        n_sh = F.size(toks) - (n - 1)
+        grams = F.when(
+            n_sh > 0,
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        )
+        return F.when(
+            n_sh > 0,
+            F.round(1 - F.size(F.array_distinct(grams)) / n_sh, 6),
+        )
+
+    return {
+        "dup_line_frac": dup_line,
+        "dup_2gram_frac": dup_ngram(2),
+        "dup_3gram_frac": dup_ngram(3),
+    }
+
+
+def repetition_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, dup_line_frac, dup_2gram_frac, dup_3gram_frac) — see
+    ``repetition_cols``; one row per input row, signals NULL where the
+    denominator is empty (no non-blank lines / fewer than n tokens)."""
+    cols = repetition_cols(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def remove_repeated_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text): each document with every repeat of an earlier line
+    dropped (first occurrence kept, original order and blank-line
+    structure otherwise preserved; lines compare trimmed).  The standard
+    boilerplate-stripping pass before quality scoring.
+
+    Row-local: lines array → keep line i iff the first occurrence of its
+    trimmed form is at i (``array_position`` is 1-based and returns the
+    FIRST match, so the predicate is position == own index).  O(lines²)
+    per document in the worst case — bounded by document size, never by
+    corpus size, and entirely inside whole-stage codegen.  NULL text
+    passes through as NULL (gates ledger it).
+    """
+    text = F.col(text_col)
+    raw = F.split(text, r"\n")
+    trimmed = F.transform(raw, lambda ln: F.trim(ln))
+    idx = F.sequence(F.lit(1), F.size(raw))
+    kept = F.transform(
+        idx,
+        lambda i: F.when(
+            (F.element_at(trimmed, i) == "")
+            | (F.array_position(trimmed, F.element_at(trimmed, i)) == i),
+            F.element_at(raw, i),
+        ),
+    )
+    cleaned = F.when(
+        text.isNotNull(),
+        F.concat_ws("\n", F.filter(kept, lambda ln: ln.isNotNull())),
+    )
+    return df.select(F.col(id_col), cleaned.alias(text_col))

@@ -1136,6 +1136,28 @@ def test_prepare_training_corpus_ledger(spark):
     assert out[1].canonical_id == out[2].canonical_id == 1
     assert out[5].status == "kept" and out[5].canonical_id == 5
 
+    # optional repetition gate: a good-quality english doc that is mostly a
+    # repeated nav-bar line drops as 'repetitive' (after quality, before
+    # language); with the gate off (default above) the same ledger stands
+    nav = "home products about contact the best site on the entire web"
+    docs_r = docs.unionByName(
+        spark.createDataFrame(
+            [(6, "\n".join([nav] * 9 + ["one real line of text here"]))],
+            "doc_id long, text string",
+        )
+    )
+    out_r = {
+        r.id: r
+        for r in prepare_training_corpus(
+            docs_r, max_dup_line_frac=0.3
+        ).collect()
+    }
+    assert len(out_r) == 6
+    assert out_r[6].status == "repetitive" and out_r[6].canonical_id is None
+    # the other verdicts are unchanged by enabling the gate
+    for i in (1, 2, 3, 4, 5):
+        assert out_r[i].status == out[i].status
+
 
 def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
     """Streaming gates+exact-dedup admit the same content hash-set as the
@@ -1216,3 +1238,50 @@ def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert {r.hash for r in got2} == batch_hashes
+
+
+def test_repetition_filters(spark):
+    """Gopher/RefinedWeb-style repetition signals + repeated-line removal —
+    row-local, zero-exchange (plan-pinned below)."""
+    from graph_computing_go_spark.operators.text import (
+        remove_repeated_lines,
+        repetition_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "home | products | about\nreal content here\nhome | products | about\nmore real text\nhome | products | about"),
+            (2, "the cat sat on the mat the cat sat again"),
+            (3, "unique one\nunique two"),
+            (4, None),
+            (5, "one"),  # single token: no 2-grams -> NULL fraction
+        ],
+        "doc_id long, text string",
+    )
+    rs = {r["doc_id"]: r for r in repetition_score(docs).collect()}
+    # doc 1: 5 non-blank lines, 3 copies of the nav bar -> 2/5 duplicates
+    assert rs[1]["dup_line_frac"] == 0.4
+    assert rs[3]["dup_line_frac"] == 0.0
+    # doc 2: 9 2-grams, 'the cat'/'cat sat' repeat -> 2 dups
+    assert rs[2]["dup_2gram_frac"] == round(2 / 9, 6)
+    assert rs[2]["dup_line_frac"] == 0.0
+    assert rs[4]["dup_line_frac"] is None  # NULL text -> NULL signals
+    assert rs[5]["dup_2gram_frac"] is None  # no 2-grams
+
+    cleaned = {r["doc_id"]: r["text"] for r in remove_repeated_lines(docs).collect()}
+    assert cleaned[1] == "home | products | about\nreal content here\nmore real text"
+    assert cleaned[3] == "unique one\nunique two"
+    assert cleaned[4] is None
+    # blank-line structure survives
+    blanky = spark.createDataFrame(
+        [(9, "a\n\nb\n\na")], "doc_id long, text string"
+    )
+    assert (
+        remove_repeated_lines(blanky).collect()[0]["text"] == "a\n\nb\n"
+        or remove_repeated_lines(blanky).collect()[0]["text"] == "a\n\nb\n\n"
+    )
+    # zero-exchange plan pin (same invariant class as language_id/simhash)
+    plan = repetition_score(
+        docs.repartition(3)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan and "Generate" not in plan
