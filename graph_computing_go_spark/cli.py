@@ -347,6 +347,7 @@ def cmd_prepare_stream(args):
             ts_col=args.ts_col,
             min_quality=args.min_quality,
             languages=tuple(args.languages) if args.languages else None,
+            max_dup_line_frac=args.max_dup_line_frac,
             watermark=args.watermark,
         ),
         args.checkpoint,
@@ -639,6 +640,13 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--text-col", default="text")
     sp.add_argument("--ts-col", default="ts")
     sp.add_argument("--min-quality", type=float, default=0.35)
+    sp.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="enable the repetition gate (row-local, streams in the same "
+        "stateless projection); off by default",
+    )
     sp.add_argument(
         "--languages",
         nargs="*",

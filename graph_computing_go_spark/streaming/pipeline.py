@@ -1,11 +1,12 @@
 """Streaming corpus preparation — the incremental twin of
 ``operators.pipeline.prepare_training_corpus``.
 
-A training feed is append-only; the batch pipeline's first two gates
-(quality score, language ID) are row-local column expressions
-(``operators.text.quality_cols`` / ``language_cols`` — ``language_id`` is
-deliberately shuffle-free array arithmetic over compile-time stopword
-literals), so they apply to a stream in ONE stateless projection.  The
+A training feed is append-only; the batch pipeline's gates (quality
+score, optional repetition, language ID) are row-local column expressions
+(``operators.text.quality_cols`` / ``repetition_cols`` / ``language_cols``
+— ``language_id`` is deliberately shuffle-free array arithmetic over
+compile-time stopword literals), so they apply to a stream in ONE
+stateless projection.  The
 dedup stage is the streaming exact dedup (``dropDuplicatesWithinWatermark``
 — one state row per content hash, evicted by the watermark, so state is
 bounded by dedup-horizon × arrival-rate, not corpus size).
@@ -36,6 +37,7 @@ from pyspark.sql import functions as F
 from graph_computing_go_spark.operators.text import (
     language_cols,
     quality_cols,
+    repetition_cols,
     tokens_col,
 )
 
@@ -48,13 +50,17 @@ def prepare_corpus_stream(
     ts_col: str = "ts",
     min_quality: float = 0.35,
     languages: tuple[str, ...] | None = ("en",),
+    max_dup_line_frac: float | None = None,
     watermark: str = "1 hour",
     schema=None,
 ) -> DataFrame:
     """readStream over a parquet directory → first-seen kept documents
     ``(hash, id, ts, score, pred_lang)``.  Rows failing a gate, or
     duplicating already-admitted content within the watermark horizon, are
-    dropped.  ``languages=None`` disables the language gate."""
+    dropped.  ``languages=None`` disables the language gate;
+    ``max_dup_line_frac`` enables the repetition gate (row-local like the
+    others, so it streams in the same stateless projection — NULL signal
+    passes, mirroring the batch operator exactly)."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)
@@ -74,12 +80,20 @@ def prepare_corpus_stream(
     gated = base.withColumn("pred_lang", pred).drop("__toks")
 
     quality_ok = F.coalesce(F.col("score") >= min_quality, F.lit(False))
+    rep_ok = (
+        F.coalesce(
+            repetition_cols("text")["dup_line_frac"] <= max_dup_line_frac,
+            F.lit(True),
+        )
+        if max_dup_line_frac is not None
+        else F.lit(True)
+    )
     lang_ok = (
         F.coalesce(F.col("pred_lang").isin(*languages), F.lit(False))
         if languages
         else F.lit(True)
     )
-    admitted = gated.filter(quality_ok & lang_ok).select(
+    admitted = gated.filter(quality_ok & rep_ok & lang_ok).select(
         F.sha2("text", 256).alias("hash"),
         "id",
         "ts",

@@ -1239,6 +1239,36 @@ def test_prepare_corpus_stream_matches_batch(spark, tmp_path):
     }
     assert {r.hash for r in got2} == batch_hashes
 
+    # repetition gate streams too (row-local): a fresh stream over the same
+    # corpus plus a repetitive doc, gate on — the nav-bar doc is dropped,
+    # the batch twin with the same gate keeps the identical content set
+    nav = "home products about contact everything on the best site online"
+    spark.createDataFrame(
+        [(9, "\n".join([nav] * 9 + ["one real line of text here"]), m(8))], ddl
+    ).write.mode("append").parquet(src)
+    ck2, out2 = str(tmp_path / "ck2"), str(tmp_path / "out2")
+    got3 = run_stream_once_to_dir(
+        prepare_corpus_stream(
+            spark, src, watermark="10 minutes", max_dup_line_frac=0.3
+        ),
+        ck2,
+        out2,
+    ).collect()
+    assert 9 not in {r.id for r in got3}
+    batch_r = prepare_training_corpus(
+        spark.read.parquet(src).select("doc_id", "text"), max_dup_line_frac=0.3
+    ).collect()
+    assert {r.id: r.status for r in batch_r}[9] == "repetitive"
+    kept_ids = {r.id for r in batch_r if r.status == "kept"}
+    rep_hashes = {
+        r.hash
+        for r in spark.read.parquet(src)
+        .filter(F.col("doc_id").isin(*kept_ids))
+        .select(F.sha2("text", 256).alias("hash"))
+        .collect()
+    }
+    assert {r.hash for r in got3} == rep_hashes
+
 
 def test_repetition_filters(spark):
     """Gopher/RefinedWeb-style repetition signals + repeated-line removal —
