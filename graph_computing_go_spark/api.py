@@ -100,21 +100,30 @@ def q_in_degree_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HIST_SQL = """WITH {ctes}
 SELECT {col} AS degree, COUNT(*) AS n_nodes FROM deg GROUP BY {col}"""
 
-for _kind, _col in (("in", "in_deg"), ("out", "out_deg"), ("all", "all_deg")):
 
-    def _mk(kind: str) -> QueryFn:
-        def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-            return degree_histogram(derive_edges(spark, sf_dir), kind)
+def _mk_hist(kind: str) -> QueryFn:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return degree_histogram(derive_edges(spark, sf_dir), kind)
 
-        q.__doc__ = (
-            f"A2 ({kind}-degree histogram; degreeStats.go map[int]int counters)."
-        )
-        return q
+    q.__doc__ = (
+        f"A2 ({kind}-degree histogram; degreeStats.go map[int]int counters)."
+    )
+    return q
 
-    register(
-        f"degree_histogram_{_kind}",
-        _HIST_SQL.format(ctes=GRAPH_CTES, col=_col),
-    )(_mk(_kind))
+
+# Only the IN histogram stays driver-registered: the out/all variants share
+# its exact plan shape (one groupBy over the deg CTE) and the quirk coverage
+# lives in wiki_degree_quirk_histograms, so they were swapped out for
+# decontaminate + repetition_score (VERDICT r4 next #2; registry pinned at
+# 50).  They remain oracle-checked in tests/test_pruned_parity.py.
+register("degree_histogram_in", _HIST_SQL.format(ctes=GRAPH_CTES, col="in_deg"))(
+    _mk_hist("in")
+)
+
+DEGREE_HISTOGRAM_OUT_SQL = _HIST_SQL.format(ctes=GRAPH_CTES, col="out_deg")
+DEGREE_HISTOGRAM_ALL_SQL = _HIST_SQL.format(ctes=GRAPH_CTES, col="all_deg")
+q_degree_histogram_out = _mk_hist("out")
+q_degree_histogram_all = _mk_hist("all")
 
 
 # --------------------------------------------------------------------------
@@ -820,6 +829,84 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "repetition_score",
+    """WITH base AS (
+      SELECT doc_id, replace(text, ' row ', chr(10)) AS text FROM documents),
+    feat AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)),
+                         x -> x != '') AS lines,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM base)
+    SELECT doc_id,
+           CASE WHEN len(lines) > 0 THEN
+             ROUND(1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 6)
+           END AS dup_line_frac,
+           CASE WHEN len(t) - 1 > 0 THEN
+             ROUND(1 - len(list_distinct(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])))
+                   / CAST(len(t) - 1 AS DOUBLE), 6)
+           END AS dup_2gram_frac,
+           CASE WHEN len(t) - 2 > 0 THEN
+             ROUND(1 - len(list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                   / CAST(len(t) - 2 AS DOUBLE), 6)
+           END AS dup_3gram_frac
+    FROM feat""",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition signals (dup_line/2gram/3gram fractions) —
+    row-local, zero exchanges.  The documents table is single-line, so the
+    query injects line structure deterministically on BOTH sides (every
+    ' row ' occurrence becomes a newline) to make dup_line_frac a real
+    signal rather than a constant 0."""
+    from graph_computing_go_spark.operators.text import repetition_score
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", " row ", "\n").alias("text")
+    )
+    return repetition_score(docs)
+
+
+@register(
+    "decontaminate",
+    """WITH toks AS (
+      SELECT doc_id AS id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            w -> lower(w)) AS t
+      FROM documents),
+    grams AS (
+      SELECT id,
+             unnest(list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(list_slice(t, i, i + 7), ' ')))
+               AS shingle
+      FROM toks WHERE len(t) >= 8),
+    ev AS (SELECT DISTINCT shingle FROM grams WHERE id % 25 = 0),
+    hits AS (SELECT g.id, COUNT(*) AS n_hits
+             FROM grams g JOIN ev ON g.shingle = ev.shingle
+             GROUP BY g.id)
+    SELECT d.doc_id AS id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination ledger: every corpus doc exactly once with
+    its 8-word-gram hit count against a planted eval set (every 25th doc) —
+    eval membership and any genuine cross-doc 8-gram overlap both flag.
+    broadcast_eval=True takes the broadcast fast-path (the eval set is tiny
+    by construction; the AQE-decided default is the scale path, bench/pytest
+    gated)."""
+    from graph_computing_go_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs, docs.filter(F.col("doc_id") % 25 == 0), k=8, broadcast_eval=True
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data toolkit: dedup family (operators/dedup.py)
 # --------------------------------------------------------------------------
@@ -1162,10 +1249,14 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         if old == rt:
             continue
         alive = _owner_alive(old)
-        dead = (alive is False) or (
-            alive is None and time.time() - os.path.getmtime(old) > 24 * 3600
-        )
-        if dead:
+        # the mtime rule applies even when the owner PID LOOKS alive: a
+        # recycled PID (any long-lived process inheriting the number) would
+        # otherwise keep a finished run's dir forever — exactly the leak
+        # this pruning exists to stop.  No legitimate owner is >24h old
+        # here (drivers are bench/compare/pytest runs), so stale-but-
+        # "alive" means recycled, not racing.
+        stale = time.time() - os.path.getmtime(old) > 24 * 3600
+        if (alive is False) or stale:
             shutil.rmtree(old, ignore_errors=True)
     repos.write.mode("overwrite").parquet(rt)
     try:

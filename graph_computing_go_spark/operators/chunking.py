@@ -233,6 +233,16 @@ def pack_sequences(
                     sizes[a:b], target_tokens, f0
                 )
                 ords = ords + base
+                # pack_id = (shard << 33) | ordinal — an ordinal at 2^33
+                # would silently corrupt the shard bits, like the sibling
+                # bit-packed ids (chunk doc_id, global_row_number); fail
+                # loudly instead (same contract as their assert_true guards)
+                if int(ords[-1]) >= 1 << 33:
+                    raise ValueError(
+                        f"pack_sequences: shard {s} produced ordinal "
+                        f"{int(ords[-1])} >= 2^33 — pack_id bit budget "
+                        "exceeded; raise n_shards"
+                    )
                 pack[a:b] = (s << 33) | ords
                 cur_shard, ordinal = s, int(ords[-1])
             res = pdf[["id", "n_tokens"]].copy()

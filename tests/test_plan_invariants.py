@@ -129,3 +129,7 @@ def test_grouped_distance_tag_joins_reuse_nc_partitioning(spark, monkeypatch):
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(g" in plan, plan
     row = out.collect()[0]
     assert round(row["big"], 9) == round(1.0754887502163468, 9)
+    # lazy mode (EAGER=0) skips the function's own unpersist hygiene, so its
+    # four internal caches would outlive this test in the shared session —
+    # drop them here (ADVICE r4)
+    spark.catalog.clearCache()

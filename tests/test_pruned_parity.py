@@ -12,9 +12,13 @@ import duckdb
 import pytest
 
 from graph_computing_go_spark.api import (
+    DEGREE_HISTOGRAM_ALL_SQL,
+    DEGREE_HISTOGRAM_OUT_SQL,
     REVENUE_PER_NATION_SQL,
     SIMHASH_NEAR_DUP_SQL,
     SUBJECT_UNION_SQL,
+    q_degree_histogram_all,
+    q_degree_histogram_out,
     q_revenue_per_nation,
     q_simhash_near_dup,
     q_subject_union_vertices,
@@ -42,8 +46,19 @@ def duck():
         (q_revenue_per_nation, REVENUE_PER_NATION_SQL),
         (q_subject_union_vertices, SUBJECT_UNION_SQL),
         (q_simhash_near_dup, SIMHASH_NEAR_DUP_SQL),
+        # swapped out of the driver registry for decontaminate +
+        # repetition_score (VERDICT r4 next #2): same plan shape as the
+        # still-registered degree_histogram_in
+        (q_degree_histogram_out, DEGREE_HISTOGRAM_OUT_SQL),
+        (q_degree_histogram_all, DEGREE_HISTOGRAM_ALL_SQL),
     ],
-    ids=["revenue_per_nation", "subject_union_vertices", "simhash_near_dup"],
+    ids=[
+        "revenue_per_nation",
+        "subject_union_vertices",
+        "simhash_near_dup",
+        "degree_histogram_out",
+        "degree_histogram_all",
+    ],
 )
 def test_pruned_query_matches_oracle(spark, duck, fn, sql):
     got = sorted(map(tuple, fn(spark, SF_DIR).collect()))
