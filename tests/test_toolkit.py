@@ -552,6 +552,66 @@ def test_trained_ivf_centroids(spark):
     assert trained == exact  # same-cluster neighbors -> full recall at probe 1
 
 
+def test_trained_ivf_recall_floor(spark):
+    """CI fence for the measured recall curve (BENCH/BASELINE.md §5,
+    VERDICT r4 #7): on a seeded 10k-vector noisy-cluster corpus — the small
+    sibling of the bench's 100k corpus, same hash-arithmetic generator —
+    the TRAINED IVF index at the shipped sqrt(n)-ish geometry must keep
+    recall@10 >= 0.9 vs exact brute force.  The bench records the full
+    curve; this test makes a refactor that silently degrades trained-IVF
+    recall fail loudly (floor 0.9 < the documented 1.0 to absorb the
+    corpus-size change, not to tolerate regressions of the method)."""
+    from graph_computing_go_spark.operators.similarity import (
+        cosine_topk_arrow,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    dim, n_vec, topk = 32, 10_000, 10
+    vec = F.array(
+        *[
+            (
+                (
+                    F.pmod(
+                        F.xxhash64((F.col("id") % 50).cast("long"), F.lit(d)),
+                        F.lit(1000),
+                    )
+                    / 500.0
+                    - 1.0
+                )
+                + 0.25
+                * (
+                    F.pmod(F.xxhash64("id", F.lit(d + 100)), F.lit(1000))
+                    / 500.0
+                    - 1.0
+                )
+            ).cast("double")
+            for d in range(dim)
+        ]
+    )
+    vecs = (
+        spark.range(n_vec)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .repartition(8)
+        .cache()
+    )
+    qs = vecs.filter(F.col("vec_id") % 500 == 17)  # 20 queries
+    exact = {
+        (r["q_id"], r["c_id"])
+        for r in cosine_topk_arrow(vecs, qs, k=topk).collect()
+    }
+    C = train_ivf_centroids(vecs, n_centroids=16, n_iters=3)
+    got = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_ann_topk(
+            vecs, qs, k=topk, n_centroids=16, n_probe=4, centroids=C
+        ).collect()
+    }
+    vecs.unpersist()
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"trained-IVF recall@10 {recall:.4f} < 0.9 floor"
+
+
 def test_centroid_persistence_roundtrip(spark, tmp_path):
     """save_centroids → load_centroids is bit-exact and the loaded index
     searches identically to the in-memory one."""
@@ -705,6 +765,105 @@ def test_tokenizer_seam(spark):
     ws = chunk_documents(docs, max_tokens=2, overlap=1).collect()
     for r in ws:
         assert r["n_tokens"] == len(r["chunk_text"].split())
+
+
+def test_toy_bpe_through_seam(spark):
+    """The tokenizer seam under a REAL sub-word model (VERDICT r4 #5): a
+    50-merge BPE trained in-repo changes token counts, chunk windows, and
+    pack boundaries vs the whitespace default, and everything re-derives
+    deterministically (same model -> same packs under any partitioning)."""
+    from graph_computing_go_spark.operators.bpe import ToyBPE
+    from graph_computing_go_spark.operators.chunking import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    corpus = [
+        "low lower lowest lowly low low lower",
+        "new newer newest newly new new newer",
+        "wide wider widest widely wide wide wider",
+        None,
+    ]
+    bpe = ToyBPE.train(corpus, n_merges=50)
+    # deterministic training: identical merge tables on re-train
+    assert bpe.merges == ToyBPE.train(corpus, n_merges=50).merges
+    assert len(bpe.merges) > 0
+    # lossless encode: concatenating subwords reconstructs the word
+    for w in ("lowest", "newest", "unseenword"):
+        toks = bpe.encode_word(w)
+        assert "".join(toks).replace("</w>", "") == w
+        assert toks[-1].endswith("</w>")
+    # trained merges actually fuse: frequent stems become single tokens
+    assert len(bpe.encode_word("low")) < len("low") + 0  # fused below chars
+    # suffix sharing: 'lowest'/'newest'/'widest' share a fused 'est' piece
+    est_counts = [bpe.encode_word(w) for w in ("lowest", "newest", "widest")]
+    assert all(any("est" in t for t in toks) for toks in est_counts)
+
+    docs = spark.createDataFrame(
+        [(i, corpus[i % 3] + f" marker{i}") for i in range(30)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    tc_ws = {r["doc_id"]: r["n_tokens"] for r in token_count(docs).collect()}
+    tc_bpe = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_count(docs, tokenizer=bpe).collect()
+    }
+    # sub-word counts exceed word counts (markerN words shatter), and the
+    # Spark-side count equals the driver-side model applied by hand
+    for i in range(30):
+        assert tc_bpe[i] > tc_ws[i]
+        want = sum(
+            len(bpe.encode_word(w.lower()))
+            for w in (corpus[i % 3] + f" marker{i}").split()
+        )
+        assert tc_bpe[i] == want
+    assert tc_bpe[99] == tc_ws[99] == -1  # NULL ledger row, both paths
+
+    # chunk windows measured in BPE tokens: budgets re-derive under the
+    # model, and boundaries differ from the whitespace path
+    ch_bpe = chunk_documents(docs, max_tokens=8, tokenizer=bpe)
+    ch_ws = chunk_documents(docs, max_tokens=8)
+    rows_bpe = ch_bpe.collect()
+    n_chunks = {}
+    for r in rows_bpe:
+        n_chunks[r["id"]] = n_chunks.get(r["id"], 0) + 1
+        assert r["n_tokens"] <= 8
+    for i in range(30):
+        assert n_chunks[i] == -(-tc_bpe[i] // 8) or n_chunks[i] >= 1
+    assert ch_ws.count() < len(rows_bpe)  # more (smaller-unit) chunks
+
+    # pack boundaries shift under the sub-word budget and stay deterministic
+    packed = pack_sequences(
+        ch_bpe.selectExpr("id * 1048576 + chunk_idx as doc_id", "n_tokens"),
+        target_tokens=16,
+        n_shards=4,
+    )
+    rows1 = sorted(map(tuple, packed.collect()))
+    rows2 = sorted(
+        map(
+            tuple,
+            pack_sequences(
+                ch_bpe.selectExpr(
+                    "id * 1048576 + chunk_idx as doc_id", "n_tokens"
+                ).repartition(7),
+                target_tokens=16,
+                n_shards=4,
+            ).collect(),
+        )
+    )
+    assert rows1 == rows2
+    fills: dict[int, int] = {}
+    for pid, _id, n in rows1:
+        fills[pid] = fills.get(pid, 0) + n
+    assert all(v <= 16 for v in fills.values())
+    # the whitespace packing of the SAME docs differs — non-whitespace
+    # tokens genuinely moved pack boundaries (the r4 'done' criterion)
+    packed_ws = pack_sequences(
+        ch_ws.selectExpr("id * 1048576 + chunk_idx as doc_id", "n_tokens"),
+        target_tokens=16,
+        n_shards=4,
+    )
+    assert sorted(map(tuple, packed_ws.collect())) != rows1
 
 
 def test_next_fit_vectorized_matches_loop():
