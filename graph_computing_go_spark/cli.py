@@ -356,6 +356,29 @@ def cmd_prepare_stream(args):
     _emit(cmd=args.cmd, rows_total=kept.count())
 
 
+def cmd_compact(args):
+    """Periodic batch compaction of a prepare-stream run: near-dup sweep
+    (dedup_clusters) over the stream's accumulated kept set, full mapping
+    MERGEd into <output>/corpus_compacted keyed on id — idempotent, and a
+    later cycle can demote a previous survivor (see
+    operators.pipeline.compact_corpus)."""
+    from graph_computing_go_spark.operators.pipeline import compact_corpus
+
+    spark = _spark(args)
+    compacted = compact_corpus(
+        spark.read.parquet(args.docs),
+        spark.read.parquet(args.stream_out),
+        args.output,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_jaccard=args.min_jaccard,
+    ).cache()
+    kept = compacted.filter("is_canonical").count()
+    rows = compacted.count()
+    compacted.unpersist()
+    _emit(cmd=args.cmd, rows=rows, kept=kept)
+
+
 def cmd_decontaminate(args):
     """Flag corpus documents overlapping an eval set; with --spans, also
     write the merged token spans for masking-grade decontamination."""
@@ -655,6 +678,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--watermark", default="1 hour")
     sp.set_defaults(fn=cmd_prepare_stream)
+
+    sp = sub.add_parser("compact")
+    sp.add_argument("--docs", required=True, help="parquet source feed")
+    sp.add_argument(
+        "--stream-out",
+        required=True,
+        help="prepare-stream output (the accumulated kept ledger)",
+    )
+    sp.add_argument("--output", required=True, help="warehouse directory")
+    sp.add_argument("--id-col", default="doc_id")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--min-jaccard", type=float, default=0.8)
+    sp.set_defaults(fn=cmd_compact)
 
     sp = sub.add_parser("ingest-repos")
     sp.add_argument("--repos", required=True)

@@ -136,3 +136,50 @@ def prepare_training_corpus(
         ledger = ledger.localCheckpoint()
         meta.unpersist()
     return ledger
+
+
+def compact_corpus(
+    docs: DataFrame,
+    kept_ledger: DataFrame,
+    warehouse: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "corpus_compacted",
+    **dedup_kwargs,
+) -> DataFrame:
+    """Streaming→batch compaction glue (the documented 100 TB split made
+    operational): the stream (``streaming.pipeline.prepare_corpus_stream``)
+    admits exact-first-seen content incrementally — near-dup clustering
+    needs corpus-wide self-joins it cannot do — and THIS periodic batch
+    sweep runs ``dedup_clusters`` over the accumulated kept set and MERGEs
+    the full cluster mapping into ``<warehouse>/<table>``.
+
+    ``kept_ledger`` is the stream's output table ``(hash, id, ts, …)``;
+    ``docs`` is the source feed (the ledger carries no text — at 100 TB the
+    text IS the corpus, so it is re-read from the source by a doc-grain
+    semi-join rather than duplicated into stream state).
+
+    The merge is keyed at doc grain (``id``) and upserts the WHOLE mapping
+    row ``(id, canonical_id, cluster_size, is_canonical)``, so compaction is
+    idempotent AND survivor-correcting: when a later cycle's arrival merges
+    clusters or introduces a smaller-id member, the previous canonical's row
+    is REPLACED with its demoted status instead of leaking a stale survivor
+    (an insert-only sink could never demote).  The stable kept set at any
+    point is ``is_canonical`` over the compacted table.
+
+    Scale shape: each sweep re-clusters the full accumulated kept set —
+    exact pre-collapse already happened on the stream, so the sweep's input
+    is the deduplicated corpus, and every pair stage inside
+    ``dedup_clusters`` is band-bounded (`grid_self_pairs`).  At 100 TB the
+    operational knob is sweep cadence (state between sweeps is just the two
+    parquet tables; no driver state), not algorithm shape.
+
+    Returns the post-merge compacted table as a batch DataFrame.
+    """
+    from graph_computing_go_spark.sources.io import merge_result, read_result
+
+    kept_ids = kept_ledger.select(F.col("id").alias(id_col)).distinct()
+    kept_docs = docs.select(id_col, text_col).join(kept_ids, id_col, "left_semi")
+    mapping = dedup_clusters(kept_docs, id_col, text_col, **dedup_kwargs)
+    merge_result(mapping, warehouse, table, keys=("id",))
+    return read_result(docs.sparkSession, warehouse, table)
