@@ -56,59 +56,110 @@ def subject_entropy_lifecycle(
     n_part = int(
         vertices.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    years_arr = F.array(*[F.lit(int(y)).cast("int") for y in sorted(set(years))])
-    # row-local snapshot fan-out: the lambda's `year` is the VERTEX year
-    # (input attribute); the exploded alias becomes the snapshot key
-    v_y = vertices.select(
-        "id",
-        "subjects",
-        F.explode(
-            F.filter(years_arr, lambda y: y >= F.col("year"))
-        ).alias("year"),
-    )
-    mem = v_y.select("year", "id", F.explode("subjects").alias("subject"))
-    circle = mem.select("year", "id").distinct()
+    years_sorted = sorted(set(int(y) for y in years))
+    years_arr = F.array(*[F.lit(y).cast("int") for y in years_sorted])
 
-    # circle induction, per snapshot: inner join fans each edge to the
-    # years its src belongs to; the semi join keeps it only where dst is
-    # in the SAME year's circle
-    e_y = (
-        edges.join(circle.withColumnRenamed("id", "src"), "src")
-        .join(
-            circle.withColumnRenamed("id", "dst"), ["year", "dst"], "left_semi"
+    # Every per-year quantity here is CUMULATIVE in the year (vertex years
+    # are static; circles only grow), so nothing edge-grain needs a year
+    # fan-out.  The former shape fanned each edge to every snapshot year of
+    # its src at the circle join (an |E|×avg-years cached table, ~3× the
+    # edge table on the bench graph) and double-joined THAT against the
+    # year-fanned membership.  This shape tags each edge once with the year
+    # it enters the graph (ymax = max of the endpoint vertex years), derives
+    # first-kept-year thresholds from one cumulative aggregation, routes
+    # subjects through vertex-grain membership joins, and only fans
+    # VERTEX-grain increment rows across the year list.  Multiplicities are
+    # preserved exactly (membership rows keep duplicate subjects; the
+    # subject-equality join yields a×b rows per edge like the old
+    # explode-join-filter), so outputs are bit-identical.
+    vy = vertices.select(
+        "id", F.col("year").cast("int").alias("vy"), "subjects"
+    )
+    # the circle is SUBJECT-CARRYING vertices only (the reference's circle
+    # is built from subject membership; empty/NULL subject lists never join)
+    vcirc = vy.filter(F.size("subjects") > 0).select("id", "vy")
+    tagged = (
+        edges.join(
+            vcirc.select(F.col("id").alias("src"), F.col("vy").alias("ysrc")),
+            "src",
         )
-        .select("year", "src", "dst")
-        .repartition(n_part, "year", "dst")
+        .join(
+            vcirc.select(F.col("id").alias("dst"), F.col("vy").alias("ydst")),
+            "dst",
+        )
+        .select("src", "dst", F.greatest("ysrc", "ydst").alias("ymax"))
+        .repartition(n_part, "dst")
         .cache()
     )
-    keep = (
-        e_y.groupBy("year", F.col("dst").alias("id"))
-        .agg(F.count("*").alias("cnt"))
+    # first year each vertex clears the in-degree gate (kept is monotone:
+    # the in-circle in-degree only grows with the circle)
+    inc = tagged.groupBy(F.col("dst").alias("id"), "ymax").agg(
+        F.count("*").alias("c")
+    )
+    kyr = (
+        inc.select(
+            "id",
+            "c",
+            F.explode(
+                F.filter(years_arr, lambda yy: yy >= F.col("ymax"))
+            ).alias("yr"),
+        )
+        .groupBy("id", "yr")
+        .agg(F.sum("c").alias("cnt"))
         .filter(F.col("cnt") >= min_in_degree)
-        .select("year", "id")
+        .groupBy("id")
+        .agg(F.min("yr").alias("kyr"))
     )
-    # membership ∩ kept: probed by both sides of the subject routing AND
-    # the degree ledger — cache pre-partitioned on the join key (the
-    # alias-aware layout serves the src, dst, and (year, subject, id)
-    # consumers' first key columns)
-    memk = (
-        mem.join(keep, ["year", "id"], "left_semi")
-        .repartition(n_part, "year", "id")
+    # membership rows (duplicate subjects preserved) with kept-from year;
+    # probed by both sides of the subject routing AND the ledger fan-out
+    ms = (
+        vy.select("id", F.explode("subjects").alias("subject"))
+        .join(kyr, "id")
+        .repartition(n_part, "id")
         .cache()
     )
-    es = (
-        e_y.join(memk.select("year", F.col("id").alias("src"), "subject"), ["year", "src"])
-        .join(
-            memk.select(
-                "year", F.col("id").alias("dst"), F.col("subject").alias("s_dst")
+    # edge increment: contributes to (year, subject) from
+    # y0 = max(enters-graph, src kept, dst kept) onward
+    es_inc = (
+        tagged.join(
+            ms.select(
+                F.col("id").alias("src"), "subject", F.col("kyr").alias("k_src")
             ),
-            ["year", "dst"],
+            "src",
         )
-        .filter(F.col("subject") == F.col("s_dst"))
-        .select("year", "subject", "src", "dst")
+        .join(
+            ms.select(
+                F.col("id").alias("dst"), "subject", F.col("kyr").alias("k_dst")
+            ),
+            ["dst", "subject"],
+        )
+        .select(
+            "subject",
+            "dst",
+            F.greatest("ymax", "k_src", "k_dst").alias("y0"),
+        )
     )
-    deg = es.groupBy("year", "subject", F.col("dst").alias("id")).agg(
-        F.count("*").alias("d")
+    deg0 = es_inc.groupBy("subject", F.col("dst").alias("id"), "y0").agg(
+        F.count("*").alias("c")
+    )
+    deg = (
+        deg0.select(
+            "subject",
+            "id",
+            "c",
+            F.explode(
+                F.filter(years_arr, lambda yy: yy >= F.col("y0"))
+            ).alias("year"),
+        )
+        .groupBy("year", "subject", "id")
+        .agg(F.sum("c").alias("d"))
+    )
+    memk = ms.select(
+        "id",
+        "subject",
+        F.explode(
+            F.filter(years_arr, lambda yy: yy >= F.col("kyr"))
+        ).alias("year"),
     )
     ind = memk.join(deg, ["year", "subject", "id"], "left").select(
         "year", "subject", F.coalesce("d", F.lit(0)).alias("d")
@@ -132,7 +183,21 @@ def subject_entropy_lifecycle(
             F.count("*").alias("n_in"),
         )
     )
-    ne = es.groupBy("year", "subject").agg(F.count("*").alias("n_edges"))
+    # per-(year, subject) edge totals from the SAME (subject, y0)
+    # increments — a (subject × years)-grain table, never an edge-grain pass
+    ne = (
+        deg0.groupBy("subject", "y0")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            "subject",
+            "c",
+            F.explode(
+                F.filter(years_arr, lambda yy: yy >= F.col("y0"))
+            ).alias("year"),
+        )
+        .groupBy("year", "subject")
+        .agg(F.sum("c").alias("n_edges"))
+    )
     out = (
         dd.join(se, ["year", "subject"], "left")
         .join(ne, ["year", "subject"], "left")
@@ -150,6 +215,6 @@ def subject_entropy_lifecycle(
     # retire with the call (SPARK_GRAFT_EAGER=0 keeps it lazy for the audit)
     if eager_results():
         out = out.localCheckpoint()
-        memk.unpersist()
-        e_y.unpersist()
+        ms.unpersist()
+        tagged.unpersist()
     return out

@@ -78,17 +78,32 @@ def _universe_stats(
         ),
         ["dst", "rank_type"],
     )
-    e_slices = cand_edges.select(
+    # Slice membership is CUMULATIVE (edge ∈ slice p ⟺ e_minp ≤ p), so the
+    # per-slice degree never needs an edge-grain ladder fan-out: aggregate
+    # once at (vertex, e_minp) grain — NO row growth, map-side combine does
+    # most of the work — then explode those per-vertex increment rows (≤
+    # |ladder| per vertex) across the ladder points they contribute to.
+    # The earlier form exploded EVERY EDGE to every ladder point ≥ its
+    # e_minp (≤ |ladder|×|universes| ≈ 12× fan, ~700M rows/year on the 60M
+    # bench graph) and shuffled that for the degree groupBy — at 100 TB
+    # that fan IS the query cost.  Values are identical: d(id, p) =
+    # Σ_{e_minp ≤ p} cnt(id, e_minp).
+    deg0 = cand_edges.groupBy(
         "rank_type",
-        "dst",
-        F.explode(
-            F.filter(
-                ladder, lambda p: p >= F.greatest("minp_src", "minp_dst")
-            )
-        ).alias("percent"),
-    )
-    deg = e_slices.groupBy("rank_type", "percent", F.col("dst").alias("id")).agg(
-        F.count("*").alias("d")
+        F.col("dst").alias("id"),
+        F.greatest("minp_src", "minp_dst").alias("eminp"),
+    ).agg(F.count("*").alias("cnt"))
+    deg = (
+        deg0.select(
+            "rank_type",
+            "id",
+            "cnt",
+            F.explode(
+                F.filter(ladder, lambda p: p >= F.col("eminp"))
+            ).alias("percent"),
+        )
+        .groupBy("rank_type", "percent", "id")
+        .agg(F.sum("cnt").alias("d"))
     )
     v_slices = minp_v.select(
         "id",
@@ -117,8 +132,20 @@ def _universe_stats(
             F.count("*").alias("n_in"),
         )
     )
-    ne = e_slices.groupBy("rank_type", "percent").agg(
-        F.count("*").alias("n_edges")
+    # per-slice edge totals from the SAME (rank_type, eminp) increments —
+    # a ≤ |universes|×|ladder|-row table, never an edge-grain pass
+    ne = (
+        deg0.groupBy("rank_type", "eminp")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(
+            "rank_type",
+            "cnt",
+            F.explode(
+                F.filter(ladder, lambda p: p >= F.col("eminp"))
+            ).alias("percent"),
+        )
+        .groupBy("rank_type", "percent")
+        .agg(F.sum("cnt").alias("n_edges"))
     )
     return (
         dd.join(se, ["rank_type", "percent"], "left")
@@ -152,33 +179,69 @@ def yearly_entropy_pipeline(
         F.count("*").alias("cnt_total")
     )
 
-    out: list[DataFrame] = []
-    edges_y = edges
-    prev_caches: list[DataFrame] = []
-    for year in sorted(years, reverse=True):
-        kept_v = vertices.filter(F.col("year") <= year).select("id")
-        # incremental shrink: this year's edges derive from last year's
-        edges_y = (
-            edges_y.join(kept_v.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(kept_v.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .cache()
+    years_sorted = sorted(set(int(y) for y in years))
+    years_arr = F.array(*[F.lit(y).cast("int") for y in years_sorted])
+
+    # Vertex years are STATIC, so an edge's snapshot membership is decided
+    # once: edge ∈ year y's graph ⟺ max(vyear(src), vyear(dst)) ≤ y.  Tag
+    # every edge with that threshold in ONE pass and derive each year's
+    # graph as a FILTER over the single cached tagged table — the former
+    # per-year chained semi-join shrink re-shuffled the (shrinking) edge
+    # table twice per year and pinned a per-year cache; at an 85-year walk
+    # that is 170 edge-grain exchanges and two live multi-GB caches,
+    # replaced here by one tag join + 85 cached-scan filters.  (Measured on
+    # the 60M-edge bench graph: 268 → see PERF.md §16.)
+    vy = vertices.select("id", F.col("year").cast("int").alias("vy"))
+    tagged = (
+        edges.join(vy.select(F.col("id").alias("src"), F.col("vy").alias("ysrc")), "src")
+        .join(vy.select(F.col("id").alias("dst"), F.col("vy").alias("ydst")), "dst")
+        .select("src", "dst", F.greatest("ysrc", "ydst").alias("ymax"))
+        .cache()
+    )
+
+    # Current in-degree is CUMULATIVE over ymax, so all years' candidate
+    # tables come from one edge-grain aggregation (map-side combined, no
+    # fan) + a vertex-grain ladder explode — the former per-year
+    # cur_indeg re-aggregated the edge table once per year.
+    inc = tagged.groupBy(F.col("dst").alias("id"), "ymax").agg(
+        F.count("*").alias("c")
+    )
+    cand_all = (
+        inc.select(
+            "id",
+            "c",
+            F.explode(
+                F.filter(years_arr, lambda yy: yy >= F.col("ymax"))
+            ).alias("yr"),
         )
-        cur_indeg = edges_y.groupBy(F.col("dst").alias("id")).agg(
-            F.count("*").alias("cnt_cur")
-        )
-        candidates = cur_indeg.filter(F.col("cnt_cur") >= min_in_degree)
+        .groupBy("yr", "id")
+        .agg(F.sum("c").alias("cnt_cur"))
+        .filter(F.col("cnt_cur") >= min_in_degree)
         # vertex-grain ⋈ vertex-grain: leave the strategy to AQE (both sides
         # can be huge at scale; no broadcast hint)
-        ranked_base = (
-            candidates.join(total_indeg, "id", "left")
-            .select(
-                "id",
-                "cnt_cur",
-                F.coalesce("cnt_total", F.lit(0)).alias("cnt_total"),
-            )
-            .cache()
+        .join(total_indeg, "id", "left")
+        .select(
+            "yr",
+            "id",
+            "cnt_cur",
+            F.coalesce("cnt_total", F.lit(0)).alias("cnt_total"),
         )
-        n_cand = ranked_base.count()
+        .cache()
+    )
+    # one job for every year's candidate count (each former per-year
+    # .count() was its own job over a fresh cache)
+    cand_counts = {
+        r["yr"]: r["n"]
+        for r in cand_all.groupBy("yr").agg(F.count("*").alias("n")).collect()
+    }
+
+    out: list[DataFrame] = []
+    for year in sorted(years_sorted, reverse=True):
+        edges_y = tagged.filter(F.col("ymax") <= year).select("src", "dst")
+        ranked_base = cand_all.filter(F.col("yr") == year).select(
+            "id", "cnt_cur", "cnt_total"
+        )
+        n_cand = int(cand_counts.get(year, 0))
         # the two universes rank differently (two range-partitioned sorts —
         # unavoidable) but everything downstream is shared: union them under
         # a rank_type key and run ONE stats subtree per year.  Cache: the
@@ -203,20 +266,18 @@ def yearly_entropy_pipeline(
             ranked_both = r if ranked_both is None else ranked_both.unionByName(r)
         ranked_both = ranked_both.cache()
         # localCheckpoint materializes this year's (tiny, one row per ladder
-        # point and universe) stats NOW, severing lineage to the year caches
-        # — so superseded caches can be dropped and memory stays flat over
-        # an 85-year walk instead of accumulating 85 live edge tables
+        # point and universe) stats NOW, severing lineage to the shared
+        # caches — memory stays flat over an 85-year walk: the only live
+        # caches are the tagged edge table, the all-years candidate table,
+        # and ONE year's ranking at a time
         out.append(
             _universe_stats(edges_y, ranked_both, year, percents)
             .localCheckpoint()
         )
         ranked_both.unpersist()
-        for c in prev_caches:
-            c.unpersist()
-        prev_caches = [edges_y, ranked_base]
 
-    for c in prev_caches:
-        c.unpersist()
+    tagged.unpersist()
+    cand_all.unpersist()
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)

@@ -56,6 +56,37 @@ def test_simhash_zero_exchange(spark):
     assert "Generate" not in plan, plan
 
 
+def test_repetition_score_zero_exchange(spark):
+    """repetition_score is one row-local projection like quality_cols
+    (registered driver query as of r5): no Exchange, no Generate."""
+    from graph_computing_go_spark.operators.text import repetition_score
+
+    plan = _plan(repetition_score(_docs(spark)))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate" not in plan, plan
+
+
+def test_stream_prep_single_stateful_projection(spark, tmp_path):
+    """prepare_corpus_stream's gate stage is ONE stateless projection: the
+    analyzed plan contains exactly one stateful operator (the watermark
+    dedup) and NO aggregate/join/repartition — the property that lets the
+    gates run on a stream at all (streaming/pipeline.py docstring)."""
+    from graph_computing_go_spark.streaming import prepare_corpus_stream
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "2024-01-01")],
+        "doc_id long, text string, ts string",
+    ).write.parquet(src)
+    stream = prepare_corpus_stream(
+        spark, src, watermark="10 minutes", max_dup_line_frac=0.9
+    )
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert plan.count("DeduplicateWithinWatermark") == 1, plan
+    for bad in ("Aggregate", "Join", "Repartition"):
+        assert bad not in plan, plan
+
+
 def test_lsh_band_table_single_doc_grain_exchange(spark):
     """Fused banding (PERF.md §12): the n_hashes minima come out of ONE
     groupBy(id) — exactly one hash exchange, keyed on the doc id, never on
