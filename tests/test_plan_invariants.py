@@ -87,6 +87,28 @@ def test_stream_prep_single_stateful_projection(spark, tmp_path):
         assert bad not in plan, plan
 
 
+def test_subject_lifecycle_no_year_fanned_edge_exchange(spark):
+    """PERF.md §16: the subject lifecycle must never shuffle a YEAR-FANNED
+    edge table — edges are tagged once with ymax and only vertex/subject
+    grain increments fan across the year list.  Pin: no Exchange whose key
+    set contains `year` together with an edge endpoint column (the old
+    shape repartitioned the |E|×years table on (year, dst))."""
+    from graph_computing_go_spark.plans.subjects import subject_entropy_lifecycle
+
+    verts = spark.createDataFrame(
+        [(1, 2000, ["a"]), (2, 2000, ["a"]), (3, 2001, ["b"])],
+        "id long, year int, subjects array<string>",
+    ).repartition(3)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2)], "src long, dst long"
+    ).repartition(3)
+    out = subject_entropy_lifecycle(verts, edges, years=[2000, 2001])
+    plan = _plan(out)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln and "year" in ln:
+            assert "src" not in ln and "dst" not in ln, ln
+
+
 def test_lsh_band_table_single_doc_grain_exchange(spark):
     """Fused banding (PERF.md §12): the n_hashes minima come out of ONE
     groupBy(id) — exactly one hash exchange, keyed on the doc id, never on
