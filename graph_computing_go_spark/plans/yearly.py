@@ -56,6 +56,7 @@ def _universe_stats(
     ranked: DataFrame,
     year: int,
     percents: tuple[int, ...],
+    rank_types: tuple[str, ...] = ("total", "current"),
 ) -> DataFrame:
     """Slice stats for BOTH rank universes in one subtree: ``ranked`` is
     (id, rank_type, rank, n_total) and ``rank_type`` threads through every
@@ -66,17 +67,50 @@ def _universe_stats(
     minp_v = ranked.select(
         "id", "rank_type", _minp_expr("rank", "n_total", percents).alias("minp")
     )
-
-    cand_edges = edges_y.join(
-        minp_v.select(
-            F.col("id").alias("src"), "rank_type", F.col("minp").alias("minp_src")
-        ),
-        "src",
-    ).join(
-        minp_v.select(
-            F.col("id").alias("dst"), "rank_type", F.col("minp").alias("minp_dst")
-        ),
-        ["dst", "rank_type"],
+    # PIVOT the universes into one row per vertex before the tag joins: both
+    # rankings cover the same candidate set, so the edge table joins a
+    # |V|-row table twice and the per-universe fan happens ROW-LOCALLY after
+    # the joins — the dst-side shuffle moves |E| rows instead of
+    # |E|×|universes| (the tall form's join on (dst, rank_type) shuffled the
+    # already-fanned table).
+    minp_w = minp_v.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("rank_type") == rt, F.col("minp"))).alias(
+                f"__mp_{i}"
+            )
+            for i, rt in enumerate(rank_types)
+        ]
+    )
+    cand_edges = (
+        edges_y.join(
+            minp_w.select(
+                F.col("id").alias("src"),
+                *[F.col(f"__mp_{i}").alias(f"__s_{i}") for i in range(len(rank_types))],
+            ),
+            "src",
+        )
+        .join(
+            minp_w.select(
+                F.col("id").alias("dst"),
+                *[F.col(f"__mp_{i}").alias(f"__d_{i}") for i in range(len(rank_types))],
+            ),
+            "dst",
+        )
+        .select(
+            "dst",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rt).alias("rank_type"),
+                            F.greatest(f"__s_{i}", f"__d_{i}").alias("eminp"),
+                        )
+                        for i, rt in enumerate(rank_types)
+                    ]
+                )
+            ).alias("__p"),
+        )
+        .select("dst", "__p.rank_type", "__p.eminp")
     )
     # Slice membership is CUMULATIVE (edge ∈ slice p ⟺ e_minp ≤ p), so the
     # per-slice degree never needs an edge-grain ladder fan-out: aggregate
@@ -89,9 +123,7 @@ def _universe_stats(
     # that fan IS the query cost.  Values are identical: d(id, p) =
     # Σ_{e_minp ≤ p} cnt(id, e_minp).
     deg0 = cand_edges.groupBy(
-        "rank_type",
-        F.col("dst").alias("id"),
-        F.greatest("minp_src", "minp_dst").alias("eminp"),
+        "rank_type", F.col("dst").alias("id"), "eminp"
     ).agg(F.count("*").alias("cnt"))
     deg = (
         deg0.select(
@@ -192,10 +224,18 @@ def yearly_entropy_pipeline(
     # replaced here by one tag join + 85 cached-scan filters.  (Measured on
     # the 60M-edge bench graph: 268 → see PERF.md §16.)
     vy = vertices.select("id", F.col("year").cast("int").alias("vy"))
+    n_part = int(
+        vertices.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # cached pre-partitioned on src: every year's stats subtree starts with
+    # a join on src (filters preserve the layout), so all |years| edge-side
+    # exchanges of that join collapse into this one repartition — only the
+    # vertex-grain minp side shuffles per year
     tagged = (
         edges.join(vy.select(F.col("id").alias("src"), F.col("vy").alias("ysrc")), "src")
         .join(vy.select(F.col("id").alias("dst"), F.col("vy").alias("ydst")), "dst")
         .select("src", "dst", F.greatest("ysrc", "ydst").alias("ymax"))
+        .repartition(n_part, "src")
         .cache()
     )
 
