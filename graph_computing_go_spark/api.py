@@ -1189,6 +1189,78 @@ _CODE_EDGES_SQL = f"""
 """
 
 
+def _proc_start(pid: int) -> str | None:
+    """starttime of a live pid (/proc/<pid>/stat field 22, stable for the
+    process's lifetime), or None where /proc is unavailable."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            # comm (field 2) may contain spaces/parens — split after ')'
+            return fh.read().rsplit(")", 1)[1].split()[19]
+    except (OSError, IndexError):
+        return None
+
+
+def _owner_alive(d: str) -> bool | None:
+    """True: the recorded owner is verifiably alive.  False: gone, or its
+    PID was recycled (starttime mismatch).  None: no/odd marker or
+    unverifiable — the caller applies the mtime fallback."""
+    import os
+
+    try:
+        parts = open(os.path.join(d, ".owner_pid")).read().split()
+        pid = int(parts[0])
+    except (OSError, ValueError, IndexError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        pass  # exists, owned by someone else — fall through to starttime
+    if len(parts) < 2:
+        return None  # pid-only marker: liveness can't rule out recycling
+    now_start = _proc_start(pid)
+    if now_start is None:
+        return None  # no /proc — can't distinguish owner from recycler
+    return now_start == parts[1]
+
+
+def _prune_roundtrip_dirs(td: str, keep: str) -> None:
+    """Reclaim sibling round-trip dirs keyed on LIVENESS, not age: each dir
+    carries its owner's "pid starttime" marker.  A recycled PID — any
+    long-lived process inheriting the number after the owner exits — is
+    detected by the starttime mismatch, so a VERIFIABLY alive owner is never
+    reclaimed (a long-running concurrent driver can't lose its live dir
+    mid-write).  Markerless dirs (older layout / torn write) and markers
+    whose liveness can't be verified fall back to mtime > 24h."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    for old in glob.glob(f"{td}/code_repos_roundtrip_*"):
+        if old == keep:
+            continue
+        alive = _owner_alive(old)
+        try:
+            stale = time.time() - os.path.getmtime(old) > 24 * 3600
+        except OSError:
+            continue  # raced with a concurrent reclaim
+        if (alive is False) or (alive is None and stale):
+            shutil.rmtree(old, ignore_errors=True)
+
+
+def _write_owner_marker(rt: str) -> None:
+    import os
+
+    try:
+        start = _proc_start(os.getpid())
+        with open(os.path.join(rt, ".owner_pid"), "w") as fh:
+            fh.write(f"{os.getpid()} {start}" if start else str(os.getpid()))
+    except OSError:
+        pass  # marker is best-effort; mtime fallback still applies
+
+
 @register(
     "code_edge_table",
     f"""WITH {_CODE_EDGES_SQL}
@@ -1223,47 +1295,9 @@ def q_code_edge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         td = os.path.join(tempfile.gettempdir(), "gcgs_tmp")
     rt = f"{td}/code_repos_roundtrip_{spark.sparkContext.applicationId}"
-    # prune siblings keyed on LIVENESS, not age: each dir carries its
-    # owner's PID (written below); a sibling is reclaimed only when that
-    # process is gone, so a long-running concurrent driver can never lose
-    # its live dir.  Markerless dirs (older layout / torn write) fall back
-    # to mtime > 24h.
-    import glob
-    import shutil
-    import time
-
-    def _owner_alive(d: str) -> bool | None:
-        try:
-            pid = int(open(os.path.join(d, ".owner_pid")).read().strip())
-        except (OSError, ValueError):
-            return None  # no marker — caller applies the mtime fallback
-        try:
-            os.kill(pid, 0)
-            return True
-        except ProcessLookupError:
-            return False
-        except PermissionError:
-            return True  # exists, owned by someone else — leave it
-
-    for old in glob.glob(f"{td}/code_repos_roundtrip_*"):
-        if old == rt:
-            continue
-        alive = _owner_alive(old)
-        # the mtime rule applies even when the owner PID LOOKS alive: a
-        # recycled PID (any long-lived process inheriting the number) would
-        # otherwise keep a finished run's dir forever — exactly the leak
-        # this pruning exists to stop.  No legitimate owner is >24h old
-        # here (drivers are bench/compare/pytest runs), so stale-but-
-        # "alive" means recycled, not racing.
-        stale = time.time() - os.path.getmtime(old) > 24 * 3600
-        if (alive is False) or stale:
-            shutil.rmtree(old, ignore_errors=True)
+    _prune_roundtrip_dirs(td, keep=rt)
     repos.write.mode("overwrite").parquet(rt)
-    try:
-        with open(os.path.join(rt, ".owner_pid"), "w") as fh:
-            fh.write(str(os.getpid()))
-    except OSError:
-        pass  # marker is best-effort; mtime fallback still applies
+    _write_owner_marker(rt)
     ingested = spark.read.parquet(rt)
     verify_content_sha256(repos, ingested)
     return build_edge_table(ingested).select(

@@ -12,9 +12,9 @@ benches stay deterministic and fast.
 Scale shape: training is a driver-side pass over a SAMPLE (tokenizers are
 trained once on a corpus sample, never distributed per-row); encoding is the
 distributed hot path and is batch-vectorized — each Arrow batch deduplicates
-its words and encodes each distinct word once through a per-executor LRU-ish
-cache (natural-language batches repeat words heavily, so the per-word
-Python cost amortizes to near zero).  The instance is a plain picklable
+its words and encodes each distinct word once through a bounded per-executor
+cache (clear-on-full at 2^16 entries; natural-language batches repeat words
+heavily, so the per-word Python cost amortizes to near zero).  The instance is a plain picklable
 object: cloudpickle ships the merge table by value inside the UDF closure.
 
 Determinism: ties in pair frequency break lexicographically, so the same
@@ -29,6 +29,7 @@ from collections import Counter
 from collections.abc import Iterable
 
 _EOW = "</w>"  # end-of-word marker, fused into the final subword's symbol
+_CACHE_CAP = 1 << 16  # per-worker encode-cache bound (clear-on-full)
 
 
 class ToyBPE:
@@ -109,6 +110,11 @@ class ToyBPE:
                 lw = w.lower()
                 toks = cache.get(lw)
                 if toks is None:
+                    # bound the per-worker cache: distinct words grow with
+                    # corpus size (ids, URLs), and Python workers are reused
+                    # across batches — unbounded, this is a slow worker OOM
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     toks = cache[lw] = self.encode_word(lw)
                 out.extend(toks)
             return out

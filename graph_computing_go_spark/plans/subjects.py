@@ -72,9 +72,12 @@ def subject_entropy_lifecycle(
     # preserved exactly (membership rows keep duplicate subjects; the
     # subject-equality join yields a×b rows per edge like the old
     # explode-join-filter), so outputs are bit-identical.
+    # NULL-year vertices belong to NO snapshot (the per-year `year <= y`
+    # membership is never true for NULL) — filter them out so greatest()
+    # can't skip the NULL and leak their edges in from the other endpoint
     vy = vertices.select(
         "id", F.col("year").cast("int").alias("vy"), "subjects"
-    )
+    ).filter(F.col("vy").isNotNull())
     # the circle is SUBJECT-CARRYING vertices only (the reference's circle
     # is built from subject membership; empty/NULL subject lists never join)
     vcirc = vy.filter(F.size("subjects") > 0).select("id", "vy")

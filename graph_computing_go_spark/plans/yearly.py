@@ -223,7 +223,13 @@ def yearly_entropy_pipeline(
     # that is 170 edge-grain exchanges and two live multi-GB caches,
     # replaced here by one tag join + 85 cached-scan filters.  (Measured on
     # the 60M-edge bench graph: 268 → see PERF.md §16.)
-    vy = vertices.select("id", F.col("year").cast("int").alias("vy"))
+    # NULL-year vertices never pass the old per-year `year <= y` semi-join
+    # (NULL comparisons are never true), so they belong to NO snapshot; the
+    # filter keeps that contract — without it, greatest() skips the NULL and
+    # the edge would leak into every snapshot from the other endpoint's year.
+    vy = vertices.select("id", F.col("year").cast("int").alias("vy")).filter(
+        F.col("vy").isNotNull()
+    )
     n_part = int(
         vertices.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )

@@ -49,3 +49,35 @@ def test_yearly_pipeline_mechanics(spark):
     assert r["n_in"] == 0 and r["se_h_in"] is None
     # both universes agree when the candidate set is a single vertex
     assert rows[(2000, 100, "total")]["n_vertices"] == 1
+
+
+def test_null_year_vertices_in_no_snapshot(spark):
+    """A NULL-year vertex passes no `year <= y` membership test, so neither
+    it nor any edge touching it may enter ANY snapshot — greatest() skips
+    NULLs, so without the vy null filter its edges would leak in from the
+    other endpoint's year (round-5 review finding)."""
+    vertices = spark.createDataFrame(
+        [(1, 2000), (2, 2000), (3, 2000), (9, None)], "id long, year int"
+    )
+    base = [(1, 2), (3, 2), (2, 3), (1, 3)]  # in-deg: 2->2, 3->2
+    dirty = base + [(9, 2), (9, 3), (1, 9), (2, 9)]  # NULL-year endpoint
+    clean_res = yearly_entropy_pipeline(
+        vertices.filter("year is not null"),
+        spark.createDataFrame(base, "src long, dst long"),
+        years=[2001],
+        percents=(100,),
+        min_in_degree=2,
+    )
+    dirty_res = yearly_entropy_pipeline(
+        vertices,
+        spark.createDataFrame(dirty, "src long, dst long"),
+        years=[2001],
+        percents=(100,),
+        min_in_degree=2,
+    )
+    key = ["year", "percent", "rank_type"]
+    clean = {tuple(r[k] for k in key): r.asDict() for r in clean_res.collect()}
+    dirty_rows = {
+        tuple(r[k] for k in key): r.asDict() for r in dirty_res.collect()
+    }
+    assert clean == dirty_rows  # vertex 9 and its edges are invisible
