@@ -115,3 +115,107 @@ def test_grouped_lifecycle_equals_per_year_loop(spark):
         by_year.setdefault(r[0], 0)
         by_year[r[0]] += r[2]
     assert by_year[2003] >= by_year[2001]
+
+
+def _brute_subjects(vrows, erows, years, min_in_degree=2):
+    """Driver-side pure-Python reference for subject_entropy_lifecycle:
+    per year, membership = (vertex, subject) pairs with year <= y (NULL
+    excluded, duplicate subjects kept); circle = member vertices; in-degree
+    gate on the circle-induced graph; es = circle edges fanned by the
+    subject-equality join (a×b rows per edge incl. duplicates); dd over the
+    member in-degree histogram (zeros included), se over d>0."""
+    import math
+    from collections import Counter
+
+    out = []
+    for y in sorted(set(years), reverse=True):
+        mem = [
+            (i, s)
+            for i, yr, subs in vrows
+            if yr is not None and yr <= y
+            for s in (subs or [])
+        ]
+        circle = {i for i, _ in mem}
+        ey = [(s, d) for s, d in erows if s in circle and d in circle]
+        indeg = Counter(d for _, d in ey)
+        keep = {i for i in circle if indeg[i] >= min_in_degree}
+        memk = [(i, s) for i, s in mem if i in keep]
+        subs_of = {}
+        for i, s in memk:
+            subs_of.setdefault(i, []).append(s)
+        es = [
+            (s1, src, dst)
+            for src, dst in ey
+            for s1 in subs_of.get(src, [])
+            for s2 in subs_of.get(dst, [])
+            if s1 == s2
+        ]
+        deg = Counter((s, d) for s, _, d in es)
+        ne = Counter(s for s, _, _ in es)
+        for subject in sorted({s for _, s in memk}):
+            degs = [deg.get((subject, i), 0) for i, s in memk if s == subject]
+            hist = Counter(degs)
+            nv = len(degs)
+            dd = (
+                math.log2(nv)
+                - sum(c * math.log2(c) for c in hist.values()) / nv
+            )
+            pos = [d for d in degs if d > 0]
+            s_ = sum(pos)
+            se = (
+                math.log2(s_) - sum(d * math.log2(d) for d in pos) / s_
+                if pos
+                else None
+            )
+            out.append(
+                (y, subject, nv, ne.get(subject, 0), dd, se, len(pos))
+            )
+    return sorted(out, key=lambda t: t[:2])
+
+
+def test_subject_lifecycle_matches_brute_force_on_random_graphs(spark):
+    """Seeded random graphs (multi-edges, NULL years, empty/duplicate
+    subject lists) vs a pure-Python reference — pins the cumulative
+    membership algebra of the round-5 rewrite from first principles,
+    independent of the Spark loop reference above."""
+    import math
+    import random
+
+    subjects_pool = ["a", "b", "c"]
+    for seed in (5, 42):
+        rng = random.Random(seed)
+        vrows = []
+        for i in range(40):
+            yr = None if rng.random() < 0.1 else 2000 + rng.randrange(4)
+            k = rng.randrange(4)  # 0..3 subjects, 0 = never in a circle
+            subs = [rng.choice(subjects_pool) for _ in range(k)]
+            if k and rng.random() < 0.2:
+                subs.append(subs[0])  # duplicate subject: a×b multiplicity
+            vrows.append((i, yr, subs))
+        erows = [(rng.randrange(40), rng.randrange(40)) for _ in range(250)]
+        years = [2001, 2003]
+        vertices = spark.createDataFrame(
+            vrows, "id long, year int, subjects array<string>"
+        )
+        edges = spark.createDataFrame(erows, "src long, dst long")
+        got = sorted(
+            (
+                tuple(r)
+                for r in subject_entropy_lifecycle(
+                    vertices, edges, years
+                ).collect()
+            ),
+            key=lambda t: t[:2],
+        )
+        want = _brute_subjects(vrows, erows, years)
+        assert len(got) == len(want), f"seed {seed}: row count"
+        for g, w in zip(got, want):
+            assert g[:4] == w[:4], f"seed {seed}: keys/counts {g} vs {w}"
+            assert g[6] == w[6], f"seed {seed}: n_in {g} vs {w}"
+            for gi, wi in ((g[4], w[4]), (g[5], w[5])):
+                if wi is None:
+                    assert gi is None, f"seed {seed}: {g} vs {w}"
+                else:
+                    assert math.isclose(gi, wi, abs_tol=2e-6), (
+                        f"seed {seed}: {g} vs {w}"
+                    )

@@ -81,3 +81,117 @@ def test_null_year_vertices_in_no_snapshot(spark):
         tuple(r[k] for k in key): r.asDict() for r in dirty_res.collect()
     }
     assert clean == dirty_rows  # vertex 9 and its edges are invisible
+
+
+def _brute_yearly(vrows, erows, years, percents, min_in_degree):
+    """Driver-side pure-Python reference for yearly_entropy_pipeline:
+    per-year kept graph (both endpoint years <= y, NULL excluded), candidate
+    gate on current in-degree, per-universe dense rank (count desc, id asc),
+    ladder minp via ceil(n*p/100) prefixes, edge slice = max endpoint minp,
+    entropies over the in-degree histogram (dd incl. zeros, se over d>0)."""
+    import math
+    from collections import Counter
+
+    vy = {i: y for i, y in vrows if y is not None}
+    total = Counter(d for _, d in erows)  # raw edges: matches total_indeg
+    out = []
+    for year in years:
+        ey = [
+            (s, d)
+            for s, d in erows
+            if s in vy and d in vy and max(vy[s], vy[d]) <= year
+        ]
+        cur = Counter(d for _, d in ey)
+        cand = sorted(i for i in cur if cur[i] >= min_in_degree)
+        n = len(cand)
+        if n == 0:
+            continue
+        for rank_type in ("total", "current"):
+            cnt = {
+                i: (total.get(i, 0) if rank_type == "total" else cur[i])
+                for i in cand
+            }
+            rank = {
+                i: r + 1
+                for r, i in enumerate(sorted(cand, key=lambda i: (-cnt[i], i)))
+            }
+            minp = {
+                i: next(
+                    p
+                    for p in sorted(percents)
+                    if rank[i] <= math.ceil(n * p / 100)
+                )
+                for i in cand
+            }
+            for p in sorted(percents):
+                sl = [i for i in cand if minp[i] <= p]
+                es = [
+                    (s, d)
+                    for s, d in ey
+                    if s in minp and d in minp and max(minp[s], minp[d]) <= p
+                ]
+                d_in = Counter(d for _, d in es)
+                degs = [d_in.get(i, 0) for i in sl]
+                hist = Counter(degs)
+                dd = (
+                    math.log2(len(sl))
+                    - sum(c * math.log2(c) for c in hist.values()) / len(sl)
+                )
+                pos = [d for d in degs if d > 0]
+                s_ = sum(pos)
+                se = (
+                    math.log2(s_) - sum(d * math.log2(d) for d in pos) / s_
+                    if pos
+                    else None
+                )
+                out.append(
+                    (year, p, rank_type, len(sl), len(es), dd, se, len(pos))
+                )
+    return sorted(out, key=lambda t: t[:3])
+
+
+def test_yearly_pipeline_matches_brute_force_on_random_graphs(spark):
+    """Seeded random graphs (multi-edges, self-loops, NULL years) vs a
+    driver-side pure-Python reference — independent of both the Spark plan
+    shape and the SQL oracle, so the cumulative-membership algebra of the
+    round-5 rewrite is pinned against first-principles semantics."""
+    import math
+    import random
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        vrows = [
+            (i, None if rng.random() < 0.1 else 2000 + rng.randrange(4))
+            for i in range(50)
+        ]
+        erows = [
+            (rng.randrange(50), rng.randrange(50)) for _ in range(300)
+        ]
+        years, percents, mind = [2001, 2003], (30, 60, 100), 2
+        vertices = spark.createDataFrame(vrows, "id long, year int")
+        edges = spark.createDataFrame(erows, "src long, dst long")
+        got = sorted(
+            (
+                tuple(r)
+                for r in yearly_entropy_pipeline(
+                    vertices, edges, years=years, percents=percents,
+                    min_in_degree=mind,
+                ).collect()
+            ),
+            key=lambda t: t[:3],
+        )
+        want = _brute_yearly(vrows, erows, years, percents, mind)
+        assert len(got) == len(want), f"seed {seed}: row count"
+        for g, w in zip(got, want):
+            assert g[:5] == w[:5], f"seed {seed}: keys/counts {g} vs {w}"
+            assert g[7] == w[7], f"seed {seed}: n_in {g} vs {w}"
+            for gi, wi in (  # rounded Spark value vs unrounded reference
+                (g[5], w[5]),
+                (g[6], w[6]),
+            ):
+                if wi is None:
+                    assert gi is None, f"seed {seed}: {g} vs {w}"
+                else:
+                    assert math.isclose(gi, wi, abs_tol=2e-6), (
+                        f"seed {seed}: {g} vs {w}"
+                    )
