@@ -82,6 +82,35 @@ def _hist_entropy(counts: Column, total: Column) -> Column:
     return F.log2(total) - counts / total
 
 
+def grouped_degree_entropy(ind: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols…, dd_h_in, n_vertices, se_h_in, n_in) from a member
+    in-degree table (group_cols…, d) that INCLUDES d=0 members: dd is the
+    degree-distribution entropy over the histogram (A3 shape), se the
+    structural entropy over d>0 (A4 shape) — the shared per-group formula
+    pair of the yearly and subject lifecycle pipelines.  se columns are
+    NULL for groups with no d>0 member (left join)."""
+    gc = list(group_cols)
+    hist = ind.groupBy(*gc, "d").agg(F.count("*").alias("c"))
+    dd = hist.groupBy(*gc).agg(
+        _hist_entropy(
+            F.sum(F.col("c") * F.log2("c")), F.sum("c").cast("double")
+        ).alias("dd_h_in"),
+        F.sum("c").alias("n_vertices"),
+    )
+    se = (
+        ind.filter(F.col("d") > 0)
+        .select(*gc, F.col("d").cast("double").alias("d"))
+        .groupBy(*gc)
+        .agg(
+            _hist_entropy(
+                F.sum(F.col("d") * F.log2("d")), F.sum("d")
+            ).alias("se_h_in"),
+            F.count("*").alias("n_in"),
+        )
+    )
+    return dd.join(se, gc, "left")
+
+
 def degree_distribution_entropy(
     edges: DataFrame, vertices: DataFrame | None = None
 ) -> DataFrame:

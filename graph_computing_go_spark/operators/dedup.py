@@ -69,6 +69,31 @@ def shingles(
     return shingle_rows(df, id_col, text_col, k).distinct()
 
 
+def _shingle_array(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, __sh_arr): the row-local k-gram array, position i (0-based) =
+    the gram starting at token i.  The load-bearing subtleties live ONLY
+    here: the token array is materialized in a child projection because
+    Catalyst does not CSE into HOF lambdas (inlining re-tokenizes per
+    gram, O(tokens²)/doc), and ``sequence(0, n)`` DESCENDS for n < 0 so
+    short docs are guarded explicitly."""
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    n_sh = F.size(toks) - (k - 1)
+    sh_arr = F.when(
+        n_sh > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("id", sh_arr.alias("__sh_arr"))
+
+
 def shingle_rows(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
@@ -77,21 +102,9 @@ def shingle_rows(
     removes the shingle-grain distinct exchange entirely: the explode is
     map-local and the next aggregation partial-aggregates to doc grain
     before its shuffle."""
-    toked = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
+    return _shingle_array(df, id_col, text_col, k).select(
+        "id", F.explode("__sh_arr").alias("shingle")
     )
-    toks = F.col("__toks")
-    n_sh = F.size(toks) - (k - 1)
-    # sequence(0, n) DESCENDS when n < 0 — guard short docs explicitly
-    sh_arr = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return toked.select("id", F.explode(sh_arr).alias("shingle"))
 
 
 def minhash_signatures(
@@ -716,23 +729,10 @@ def contaminated_spans(
     merge when the next k-gram starts before the current span ends.
     ``end_token`` is exclusive.  Only the per-doc hit-position list is
     aggregated (bounded by hits, not tokens)."""
-    # positional shingle rows: same row-local construction as shingle_rows
-    # but carrying the 0-based start position of each k-gram
-    toked = corpus.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens_col(text_col), lambda w: F.lower(w)).alias("__toks"),
-    )
-    toks = F.col("__toks")
-    n_sh = F.size(toks) - (k - 1)
-    sh_arr = F.when(
-        n_sh > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_rows = toked.select(
-        "id", F.posexplode(sh_arr).alias("pos", "shingle")
+    # positional shingle rows: shingle_rows' shared builder, posexploded so
+    # each gram carries its 0-based start position
+    pos_rows = _shingle_array(corpus, id_col, text_col, k).select(
+        "id", F.posexplode("__sh_arr").alias("pos", "shingle")
     )
     eval_grams = _eval_gram_set(eval_df, id_col, text_col, k, broadcast_eval)
     hit_starts = (

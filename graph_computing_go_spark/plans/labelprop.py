@@ -92,7 +92,9 @@ def label_propagation(
                 F.sum((F.col("label") != F.col("prev")).cast("long")).alias("c")
             ).collect()[0]["c"]
             runner.last_delta = float(changed or 0)  # changed-rows → metrics
-            return changed == 0
+            # sum over an empty state is NULL: an edgeless graph is
+            # converged, not an infinite loop (same guard as components.py)
+            return (changed or 0) == 0
 
     state, iters = runner.run(
         "label_propagation", state0, step, converged, max_iter=max_iter,

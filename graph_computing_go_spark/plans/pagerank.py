@@ -105,6 +105,13 @@ def pagerank(
     spark = edges.sparkSession
     verts = vertices_of(edges).cache()
     n = verts.count()
+    if n == 0:
+        # an empty graph has an empty ranking, not a 1/0 initial rank
+        # (connected_components converges on the same input; keep parity);
+        # project off verts so the id column keeps the caller's type
+        out = verts.select("id", F.lit(0.0).alias("rank")).localCheckpoint()
+        verts.unpersist()
+        return out, 0
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # pin the cache to hash(src): when AQE broadcasts out_deg the join output

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_computing_go_spark.functions.entropy import grouped_degree_entropy
 from graph_computing_go_spark.session import eager_results
 
 
@@ -167,25 +168,7 @@ def subject_entropy_lifecycle(
     ind = memk.join(deg, ["year", "subject", "id"], "left").select(
         "year", "subject", F.coalesce("d", F.lit(0)).alias("d")
     )
-    hist = ind.groupBy("year", "subject", "d").agg(F.count("*").alias("c"))
-    dd = hist.groupBy("year", "subject").agg(
-        (
-            F.log2(F.sum("c").cast("double"))
-            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
-        ).alias("dd_h_in"),
-        F.sum("c").alias("n_vertices"),
-    )
-    se = (
-        ind.filter(F.col("d") > 0)
-        .select("year", "subject", F.col("d").cast("double").alias("d"))
-        .groupBy("year", "subject")
-        .agg(
-            (
-                F.log2(F.sum("d")) - F.sum(F.col("d") * F.log2("d")) / F.sum("d")
-            ).alias("se_h_in"),
-            F.count("*").alias("n_in"),
-        )
-    )
+    stats = grouped_degree_entropy(ind, ["year", "subject"])
     # per-(year, subject) edge totals from the SAME (subject, y0)
     # increments — a (subject × years)-grain table, never an edge-grain pass
     ne = (
@@ -202,8 +185,7 @@ def subject_entropy_lifecycle(
         .agg(F.sum("c").alias("n_edges"))
     )
     out = (
-        dd.join(se, ["year", "subject"], "left")
-        .join(ne, ["year", "subject"], "left")
+        stats.join(ne, ["year", "subject"], "left")
         .select(
             F.col("year").cast("int").alias("year"),
             "subject",

@@ -172,19 +172,38 @@ class SuperstepRunner:
         state = state.localCheckpoint(eager=True)
         self.metrics = []
         if self.checkpoint_dir:
-            # keep only records up to the iteration we (re)start from: a
-            # fresh run truncates everything, a resume drops the records of
-            # iterations that will be replayed — the ledger never holds
-            # duplicate iters either way
+            # drop checkpoints AHEAD of the (re)start point: a fresh run
+            # must not leave a previous run's higher-iteration checkpoints
+            # behind — they are internally checksum-consistent, so a later
+            # resume would load the OLD run's state with no error; a resume
+            # replays those iterations anyway
+            base = os.path.join(self.checkpoint_dir, name)
+            if os.path.isdir(base):
+                for fn in os.listdir(base):
+                    if fn.startswith("manifest_") and fn.endswith(".json"):
+                        it = int(fn[len("manifest_") : -len(".json")])
+                        if it > start_iter:
+                            os.remove(os.path.join(base, fn))
+                            shutil.rmtree(
+                                self._iter_dir(name, it), ignore_errors=True
+                            )
+            # keep only metric records up to the iteration we (re)start
+            # from: a fresh run truncates everything, a resume drops the
+            # records of iterations that will be replayed — the ledger never
+            # holds duplicate iters either way
             mpath = os.path.join(self.checkpoint_dir, name, "metrics.jsonl")
             if os.path.exists(mpath):
+                keep = []
                 with open(mpath) as f:
-                    keep = [
-                        ln
-                        for ln in f
-                        if ln.strip()
-                        and json.loads(ln).get("iter", 0) <= start_iter
-                    ]
+                    for ln in f:
+                        if not ln.strip():
+                            continue
+                        try:
+                            m = json.loads(ln)
+                        except ValueError:
+                            continue  # torn tail line from a killed run
+                        if m.get("iter", 0) <= start_iter:
+                            keep.append(ln)
                 with open(mpath, "w") as f:
                     f.writelines(keep)
         i = start_iter

@@ -32,6 +32,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from graph_computing_go_spark.functions.entropy import grouped_degree_entropy
 from graph_computing_go_spark.operators.graph import (
     global_row_number,
     rank_partitions_for,
@@ -103,7 +104,16 @@ def _universe_stats(
                     *[
                         F.struct(
                             F.lit(rt).alias("rank_type"),
-                            F.greatest(f"__s_{i}", f"__d_{i}").alias("eminp"),
+                            # a ladder omitting 100 leaves rank > ceil(n*max_p/100)
+                            # vertices with NULL minp (in NO slice): greatest()
+                            # would skip the NULL and leak the edge into the
+                            # other endpoint's slices — NULL-strict instead,
+                            # and such edges are filtered out below
+                            F.when(
+                                F.col(f"__s_{i}").isNotNull()
+                                & F.col(f"__d_{i}").isNotNull(),
+                                F.greatest(f"__s_{i}", f"__d_{i}"),
+                            ).alias("eminp"),
                         )
                         for i, rt in enumerate(rank_types)
                     ]
@@ -111,6 +121,7 @@ def _universe_stats(
             ).alias("__p"),
         )
         .select("dst", "__p.rank_type", "__p.eminp")
+        .filter(F.col("eminp").isNotNull())
     )
     # Slice membership is CUMULATIVE (edge ∈ slice p ⟺ e_minp ≤ p), so the
     # per-slice degree never needs an edge-grain ladder fan-out: aggregate
@@ -145,25 +156,7 @@ def _universe_stats(
     ind = v_slices.join(deg, ["rank_type", "percent", "id"], "left").select(
         "rank_type", "percent", F.coalesce("d", F.lit(0)).alias("d")
     )
-    hist = ind.groupBy("rank_type", "percent", "d").agg(F.count("*").alias("c"))
-    dd = hist.groupBy("rank_type", "percent").agg(
-        (
-            F.log2(F.sum("c").cast("double"))
-            - F.sum(F.col("c") * F.log2("c")) / F.sum("c")
-        ).alias("dd_h_in"),
-        F.sum("c").alias("n_vertices"),
-    )
-    se = (
-        ind.filter(F.col("d") > 0)
-        .select("rank_type", "percent", F.col("d").cast("double").alias("d"))
-        .groupBy("rank_type", "percent")
-        .agg(
-            (
-                F.log2(F.sum("d")) - F.sum(F.col("d") * F.log2("d")) / F.sum("d")
-            ).alias("se_h_in"),
-            F.count("*").alias("n_in"),
-        )
-    )
+    stats = grouped_degree_entropy(ind, ["rank_type", "percent"])
     # per-slice edge totals from the SAME (rank_type, eminp) increments —
     # a ≤ |universes|×|ladder|-row table, never an edge-grain pass
     ne = (
@@ -180,8 +173,7 @@ def _universe_stats(
         .agg(F.sum("cnt").alias("n_edges"))
     )
     return (
-        dd.join(se, ["rank_type", "percent"], "left")
-        .join(ne, ["rank_type", "percent"], "left")
+        stats.join(ne, ["rank_type", "percent"], "left")
         .select(
             F.lit(year).alias("year"),
             "percent",
@@ -207,6 +199,15 @@ def yearly_entropy_pipeline(
 
     ``vertices``: (id, year); ``edges``: (src, dst).
     """
+    if not years:
+        # same typed-empty contract as subject_entropy_lifecycle — and no
+        # tagging/candidate jobs run just to index into an empty year list
+        return edges.sparkSession.createDataFrame(
+            [],
+            "year int, percent int, rank_type string, n_vertices long, "
+            "n_edges long, dd_h_in double, se_h_in double, n_in long",
+        )
+
     total_indeg = edges.groupBy(F.col("dst").alias("id")).agg(
         F.count("*").alias("cnt_total")
     )

@@ -8,6 +8,7 @@ dataflow, not a copied implementation.
 
 from __future__ import annotations
 
+import json
 import math
 import random
 from collections import Counter, defaultdict
@@ -294,3 +295,67 @@ def test_resume_skips_torn_checkpoint(spark, tmp_path):
         json.dump(m, f)
     it, _state = runner.latest_checkpoint("pagerank")
     assert it == int(manifests[-2][len("manifest_"):-len(".json")])
+
+
+def test_fresh_run_clears_stale_ahead_checkpoints(spark, tmp_path):
+    """A fresh run in a reused checkpoint dir must delete the previous
+    run's HIGHER-iteration checkpoints: they are internally checksum-
+    consistent, so a later resume would otherwise silently load the OLD
+    run's state (round-5 review finding)."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    graph_a = edge_df(spark, random_graph(30, 90, seed=11))
+    graph_b = edge_df(spark, random_graph(30, 90, seed=12))
+    runner = SuperstepRunner(spark, checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank(graph_a, tol=0.0, max_iter=8, runner=runner)  # ckpts ..8
+    # fresh (non-resume) run on a DIFFERENT graph, converging earlier
+    pagerank(graph_b, tol=0.0, max_iter=4, runner=runner)
+    base = os.path.join(ckdir, "pagerank")
+    iters = sorted(
+        int(f[len("manifest_"):-len(".json")])
+        for f in os.listdir(base)
+        if f.startswith("manifest_")
+    )
+    assert max(iters) <= 4, iters  # graph A's iters 6/8 are gone
+    # resume now extends graph B's run, not graph A's
+    it, state = runner.latest_checkpoint("pagerank")
+    assert it == 4
+    want = {
+        r["id"]: r["rank"]
+        for r in pagerank(graph_b, tol=0.0, max_iter=4)[0].collect()
+    }
+    got = {r["id"]: r["rank"] for r in state.collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], abs_tol=1e-12)
+
+
+def test_torn_metrics_line_does_not_break_next_run(spark, tmp_path):
+    """A partially-written metrics.jsonl line (kill -9 mid-append) must be
+    skipped by the next run's truncation pass, not crash it."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    df = edge_df(spark, random_graph(20, 50, seed=5))
+    runner = SuperstepRunner(spark, checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank(df, tol=0.0, max_iter=4, runner=runner)
+    mpath = os.path.join(ckdir, "pagerank", "metrics.jsonl")
+    with open(mpath, "a") as f:
+        f.write('{"iter": 5, "wall_')  # torn tail
+    _res, iters = pagerank(df, tol=0.0, max_iter=6, runner=runner, resume=True)
+    assert iters == 6
+    with open(mpath) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    assert [r["iter"] for r in recs] == [1, 2, 3, 4, 5, 6]
+
+
+def test_empty_graph_degenerates_gracefully(spark):
+    """Empty edge tables: PR returns an empty typed ranking (no 1/0), LPA
+    converges at iteration 1 instead of running max_iter supersteps."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    df, iters = pagerank(empty)
+    assert df.count() == 0 and iters == 0
+    assert [f.name for f in df.schema.fields] == ["id", "rank"]
+    res, iters = label_propagation(empty, max_iter=20)
+    assert res.count() == 0 and iters == 1

@@ -195,3 +195,33 @@ def test_yearly_pipeline_matches_brute_force_on_random_graphs(spark):
                     assert math.isclose(gi, wi, abs_tol=2e-6), (
                         f"seed {seed}: {g} vs {w}"
                     )
+
+
+def test_empty_years_and_no_100_ladder(spark):
+    """years=[] returns a typed empty result without running tagging jobs;
+    a ladder omitting 100 leaves beyond-ladder candidates (NULL minp) in NO
+    slice — their edges must not leak into the other endpoint's slices via
+    NULL-skipping greatest() (round-5 review finding)."""
+    v = spark.createDataFrame(
+        [(i, 2000) for i in range(1, 7)], "id long, year int"
+    )
+    e = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (5, 2), (2, 3), (4, 3), (5, 3), (2, 4), (3, 4)],
+        "src long, dst long",
+    )
+    empty = yearly_entropy_pipeline(v, e, years=[])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "year", "percent", "rank_type", "n_vertices", "n_edges",
+        "dd_h_in", "se_h_in", "n_in",
+    ]
+    # in-deg: 2->4, 3->3, 4->2; ceil(3*34/100)=2 -> candidate 4 beyond the
+    # ladder in both universes (total ranks agree here)
+    r = yearly_entropy_pipeline(
+        v, e, years=[2000], percents=(34,), min_in_degree=2
+    )
+    rows = {x["rank_type"]: x.asDict() for x in r.collect()}
+    for rt in ("current", "total"):
+        # slice {2,3}: edges 3->2 and 2->3 only — 4's edges are invisible
+        assert rows[rt]["n_vertices"] == 2 and rows[rt]["n_edges"] == 2, rows
+        assert rows[rt]["n_in"] == 2
