@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_computing_go_spark.operators.graph import global_row_number
-from graph_computing_go_spark.session import eager_results
+from graph_computing_go_spark.session import eager_results, is_cached
 
 
 def _canonical(wedges: DataFrame, group: list[str]) -> DataFrame:
@@ -191,9 +191,7 @@ def distance_complexity(
         # it — cache()/unpersist() act on the shared plan entry, and evicting
         # a caller-owned persistence from inside the API would silently
         # deoptimize their other consumers.
-        cats_preowned = categories.storageLevel.useMemory or (
-            categories.storageLevel.useDisk
-        )
+        cats_preowned = is_cached(categories)
         if not cats_preowned:
             categories = categories.cache()
         e, node_cat = _with_copies(e, categories, group)

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graph_computing_go_spark.session import eager_results
+from graph_computing_go_spark.session import eager_results, is_cached
 
 #: modulus used to fold lineitem keys into a bounded vertex id space
 GRAPH_MOD = 500
@@ -260,7 +260,7 @@ def percent_ladder_stats(
     ranked = rank_by_in_degree(edges).cache()
     # don't adopt a caller-owned cache: cache() returns the SHARED
     # canonicalized-plan entry, so unpersisting below would evict theirs
-    edges_preowned = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    edges_preowned = is_cached(edges)
     if not edges_preowned:
         edges = edges.cache()
     outs = []

@@ -108,10 +108,20 @@ def pagerank(
     if n == 0:
         # an empty graph has an empty ranking, not a 1/0 initial rank
         # (connected_components converges on the same input; keep parity);
-        # project off verts so the id column keeps the caller's type
-        out = verts.select("id", F.lit(0.0).alias("rank")).localCheckpoint()
+        # project off verts so the id column keeps the caller's type.
+        # Route through the runner as a 0-superstep run (NOT an early
+        # return): a caller-supplied runner still gets its begin-of-run
+        # hygiene — metrics reset and deletion of a previous run's stale
+        # ahead-checkpoints, which would otherwise stay silently resumable.
+        # resume is deliberately not forwarded: an empty input's result is
+        # definitionally empty, never a prior checkpoint's state.
+        out = verts.select("id", F.lit(0.0).alias("rank"))
+        runner = runner or SuperstepRunner(spark)
+        state, _ = runner.run(
+            "pagerank", out, lambda s, _i: s, lambda *_: True, max_iter=0
+        )
         verts.unpersist()
-        return out, 0
+        return state, 0
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # pin the cache to hash(src): when AQE broadcasts out_deg the join output

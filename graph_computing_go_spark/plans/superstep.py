@@ -111,18 +111,24 @@ class SuperstepRunner:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest(name, i))  # atomic commit of the ledger row
 
-    def latest_checkpoint(self, name: str) -> tuple[int, DataFrame] | None:
-        """(iteration, state) of the newest complete checkpoint, or None."""
+    def _manifest_iters(self, name: str) -> list[int]:
+        """Sorted iteration numbers with a committed manifest — the ONE
+        place the manifest filename scheme is parsed (resume and the
+        fresh-run ahead-cleanup must never disagree on it)."""
         if not self.checkpoint_dir:
-            return None
+            return []
         base = os.path.join(self.checkpoint_dir, name)
         if not os.path.isdir(base):
-            return None
-        iters = sorted(
+            return []
+        return sorted(
             int(f[len("manifest_") : -len(".json")])
             for f in os.listdir(base)
             if f.startswith("manifest_") and f.endswith(".json")
         )
+
+    def latest_checkpoint(self, name: str) -> tuple[int, DataFrame] | None:
+        """(iteration, state) of the newest complete checkpoint, or None."""
+        iters = self._manifest_iters(name)
         for i in reversed(iters):
             with open(self._manifest(name, i)) as f:
                 manifest = json.load(f)
@@ -177,16 +183,10 @@ class SuperstepRunner:
             # behind — they are internally checksum-consistent, so a later
             # resume would load the OLD run's state with no error; a resume
             # replays those iterations anyway
-            base = os.path.join(self.checkpoint_dir, name)
-            if os.path.isdir(base):
-                for fn in os.listdir(base):
-                    if fn.startswith("manifest_") and fn.endswith(".json"):
-                        it = int(fn[len("manifest_") : -len(".json")])
-                        if it > start_iter:
-                            os.remove(os.path.join(base, fn))
-                            shutil.rmtree(
-                                self._iter_dir(name, it), ignore_errors=True
-                            )
+            for it in self._manifest_iters(name):
+                if it > start_iter:
+                    os.remove(self._manifest(name, it))
+                    shutil.rmtree(self._iter_dir(name, it), ignore_errors=True)
             # keep only metric records up to the iteration we (re)start
             # from: a fresh run truncates everything, a resume drops the
             # records of iterations that will be replayed — the ledger never
@@ -203,7 +203,12 @@ class SuperstepRunner:
                         except ValueError:
                             continue  # torn tail line from a killed run
                         if m.get("iter", 0) <= start_iter:
-                            keep.append(ln)
+                            # a kill between the JSON bytes and the '\n' of
+                            # _record_metric's append leaves a valid but
+                            # unterminated tail line — re-terminate it, or
+                            # the next append concatenates onto it and
+                            # corrupts both records
+                            keep.append(ln if ln.endswith("\n") else ln + "\n")
                 with open(mpath, "w") as f:
                     f.writelines(keep)
         i = start_iter

@@ -44,6 +44,17 @@ def eager_results() -> bool:
     return os.environ.get("SPARK_GRAFT_EAGER", "1") != "0"
 
 
+def is_cached(df) -> bool:
+    """True when this plan is already persisted — i.e. the CALLER owns a
+    cache on it.  ``cache()``/``unpersist()`` act on the SHARED
+    canonicalized-plan entry (CLAUDE.md invariant), so an operator must
+    never adopt (and later evict) a caller-owned persistence: check this
+    before caching an input, and skip the paired unpersist when it's
+    preowned."""
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
 def get_spark(
     app_name: str = "graph-computing-go-spark",
     master: str | None = None,

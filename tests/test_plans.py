@@ -350,6 +350,30 @@ def test_torn_metrics_line_does_not_break_next_run(spark, tmp_path):
     assert [r["iter"] for r in recs] == [1, 2, 3, 4, 5, 6]
 
 
+def test_unterminated_valid_tail_line_is_reterminated(spark, tmp_path):
+    """A kill between the JSON bytes and the '\\n' of a metrics append
+    leaves a VALID but unterminated tail line; the next run must
+    re-terminate it when keeping it, or its first append concatenates onto
+    it and silently corrupts two records."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    df = edge_df(spark, random_graph(20, 50, seed=5))
+    runner = SuperstepRunner(spark, checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank(df, tol=0.0, max_iter=4, runner=runner)
+    mpath = os.path.join(ckdir, "pagerank", "metrics.jsonl")
+    with open(mpath) as f:
+        lines = f.readlines()
+    with open(mpath, "w") as f:
+        f.writelines(lines[:-1])
+        f.write(lines[-1].rstrip("\n"))  # valid JSON, missing its newline
+    _res, iters = pagerank(df, tol=0.0, max_iter=6, runner=runner, resume=True)
+    assert iters == 6
+    with open(mpath) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    assert [r["iter"] for r in recs] == [1, 2, 3, 4, 5, 6]
+
+
 def test_empty_graph_degenerates_gracefully(spark):
     """Empty edge tables: PR returns an empty typed ranking (no 1/0), LPA
     converges at iteration 1 instead of running max_iter supersteps."""
@@ -359,3 +383,25 @@ def test_empty_graph_degenerates_gracefully(spark):
     assert [f.name for f in df.schema.fields] == ["id", "rank"]
     res, iters = label_propagation(empty, max_iter=20)
     assert res.count() == 0 and iters == 1
+
+
+def test_empty_graph_run_still_clears_stale_runner_state(spark, tmp_path):
+    """pagerank(empty) must not BYPASS the runner: a caller-supplied runner
+    still needs its begin-of-run hygiene (metrics reset + stale checkpoint
+    deletion), or the previous run's state stays silently resumable
+    (round-5 review finding on the early-return path)."""
+    import os
+
+    ckdir = str(tmp_path / "ck")
+    graph_a = edge_df(spark, random_graph(30, 90, seed=11))
+    runner = SuperstepRunner(spark, checkpoint_dir=ckdir, checkpoint_every=2)
+    pagerank(graph_a, tol=0.0, max_iter=6, runner=runner)  # ckpts ..6
+    assert runner.latest_checkpoint("pagerank") is not None
+    empty = spark.createDataFrame([], "src long, dst long")
+    df, iters = pagerank(empty, runner=runner)
+    assert df.count() == 0 and iters == 0
+    assert runner.metrics == []  # not graph A's 6 iterations
+    # graph A's checkpoints are gone: nothing to resume from
+    assert runner.latest_checkpoint("pagerank") is None
+    with open(os.path.join(ckdir, "pagerank", "metrics.jsonl")) as f:
+        assert [ln for ln in f if ln.strip()] == []
